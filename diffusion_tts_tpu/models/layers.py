@@ -1,0 +1,362 @@
+"""Flax building blocks for the EDM model family, NHWC/TPU-native.
+
+Behavioral counterparts of the reference's primitive modules
+(edm/training/networks.py:30-220): Linear, Conv2d with fused/unfused 2x
+resampling, GroupNorm with fp32 statistics, fp32-softmax self-attention,
+and the unified UNetBlock. Differences from the reference are layout and
+execution strategy, not semantics:
+
+  * activations are NHWC (TPU convs want channel-last; torch is NCHW),
+  * all resampling is expressed as (grouped) `lax.conv_general_dilated`
+    so XLA can fuse it with the surrounding convs,
+  * GroupNorm statistics and attention softmax always run in fp32 while
+    the surrounding compute dtype is configurable (bf16 on TPU),
+  * parameters are stored fp32 and cast to the compute dtype per-use.
+
+Weight-layout conventions (what the torch->flax converter relies on):
+  Linear kernel [in, out]   (torch [out, in] transposed)
+  Conv kernel   [k, k, in, out]  (torch OIHW -> HWIO)
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from diffusion_tts_tpu.ops.attention import multihead_attention_fp32
+
+Dtype = Any
+
+
+def _kernel_init(mode: str, weight_scale: float, fan_in: int, fan_out: int):
+    """Init distributions matching the reference's weight_init
+    (networks.py:19-24), scaled by init_weight."""
+
+    def init(key, shape, dtype=jnp.float32):
+        if mode == "xavier_uniform":
+            w = math.sqrt(6.0 / (fan_in + fan_out)) * jax.random.uniform(
+                key, shape, dtype, -1.0, 1.0
+            )
+        elif mode == "xavier_normal":
+            w = math.sqrt(2.0 / (fan_in + fan_out)) * jax.random.normal(key, shape, dtype)
+        elif mode == "kaiming_uniform":
+            w = math.sqrt(3.0 / fan_in) * jax.random.uniform(key, shape, dtype, -1.0, 1.0)
+        elif mode == "kaiming_normal":
+            w = math.sqrt(1.0 / fan_in) * jax.random.normal(key, shape, dtype)
+        else:
+            raise ValueError(f"invalid init mode {mode!r}")
+        return w * weight_scale
+
+    return init
+
+
+class EDMLinear(nn.Module):
+    """Dense layer with the reference's init semantics (networks.py:30-43)."""
+
+    features: int
+    use_bias: bool = True
+    init_mode: str = "kaiming_normal"
+    init_weight: float = 1.0
+    init_bias: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        in_features = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            _kernel_init(self.init_mode, self.init_weight, in_features, self.features),
+            (in_features, self.features),
+        )
+        y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype))
+        if self.use_bias:
+            bias = self.param(
+                "bias",
+                _kernel_init(self.init_mode, self.init_bias, in_features, self.features),
+                (self.features,),
+            )
+            y = y + bias.astype(self.dtype)
+        return y
+
+
+def _resample_kernel(filter_1d: Sequence[int], channels: int, up: bool) -> np.ndarray:
+    """Depthwise 2D resampling kernel: outer(f,f)/sum(f)^2, x4 for up
+    (networks.py:65-67,79-87). Returns HWIO [k,k,1,C]."""
+    f = np.asarray(filter_1d, dtype=np.float32)
+    fk = np.outer(f, f) / (f.sum() ** 2)
+    if up:
+        fk = fk * 4.0
+    return np.tile(fk[:, :, None, None], (1, 1, 1, channels))
+
+
+def _depthwise_conv(x: jax.Array, kernel: np.ndarray, stride: int, pad: int) -> jax.Array:
+    c = x.shape[-1]
+    return jax.lax.conv_general_dilated(
+        x,
+        jnp.asarray(kernel, x.dtype),
+        window_strides=(stride, stride),
+        padding=[(pad, pad), (pad, pad)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c,
+    )
+
+
+def _depthwise_conv_transpose(x: jax.Array, kernel: np.ndarray, stride: int, pad: int) -> jax.Array:
+    """torch conv_transpose2d(stride, padding=pad) with a depthwise kernel:
+    lhs-dilated correlation with the spatially-flipped kernel and padding
+    (k-1-pad) per side."""
+    c = x.shape[-1]
+    k = kernel.shape[0]
+    kern = jnp.asarray(kernel[::-1, ::-1], x.dtype)
+    p = k - 1 - pad
+    return jax.lax.conv_general_dilated(
+        x,
+        kern,
+        window_strides=(1, 1),
+        padding=[(p, p), (p, p)],
+        lhs_dilation=(stride, stride),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c,
+    )
+
+
+class EDMConv(nn.Module):
+    """Conv with optional fused 2x up/downsampling (networks.py:49-90).
+
+    kernel=0 means "resample only" (used by SongUNet aux paths). With
+    fused_resample, upsample-then-conv / conv-then-downsample are expressed
+    with the reference's padding arithmetic so outputs match exactly.
+    """
+
+    features: int
+    kernel: int = 3
+    use_bias: bool = True
+    up: bool = False
+    down: bool = False
+    resample_filter: Sequence[int] = (1, 1)
+    fused_resample: bool = False
+    init_mode: str = "kaiming_normal"
+    init_weight: float = 1.0
+    init_bias: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        assert not (self.up and self.down)
+        in_ch = x.shape[-1]
+        x = x.astype(self.dtype)
+        w = None
+        if self.kernel:
+            fan_in = in_ch * self.kernel * self.kernel
+            fan_out = self.features * self.kernel * self.kernel
+            w = self.param(
+                "kernel",
+                _kernel_init(self.init_mode, self.init_weight, fan_in, fan_out),
+                (self.kernel, self.kernel, in_ch, self.features),
+            ).astype(self.dtype)
+        w_pad = self.kernel // 2 if w is not None else 0
+        f_pad = (len(self.resample_filter) - 1) // 2
+
+        def conv(h, kern, pad):
+            return jax.lax.conv_general_dilated(
+                h,
+                kern,
+                window_strides=(1, 1),
+                padding=[(pad, pad), (pad, pad)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+
+        if self.fused_resample and self.up and w is not None:
+            fk = _resample_kernel(self.resample_filter, in_ch, up=True)
+            x = _depthwise_conv_transpose(x, fk, 2, max(f_pad - w_pad, 0))
+            x = conv(x, w, max(w_pad - f_pad, 0))
+        elif self.fused_resample and self.down and w is not None:
+            x = conv(x, w, w_pad + f_pad)
+            fk = _resample_kernel(self.resample_filter, self.features, up=False)
+            x = _depthwise_conv(x, fk, 2, 0)
+        else:
+            if self.up:
+                fk = _resample_kernel(self.resample_filter, in_ch, up=True)
+                x = _depthwise_conv_transpose(x, fk, 2, f_pad)
+            if self.down:
+                fk = _resample_kernel(self.resample_filter, in_ch, up=False)
+                x = _depthwise_conv(x, fk, 2, f_pad)
+            if w is not None:
+                x = conv(x, w, w_pad)
+        if self.kernel and self.use_bias:
+            fan_in = in_ch * self.kernel * self.kernel
+            fan_out = self.features * self.kernel * self.kernel
+            b = self.param(
+                "bias",
+                _kernel_init(self.init_mode, self.init_bias, fan_in, fan_out),
+                (self.features,),
+            )
+            x = x + b.astype(self.dtype)
+        return x
+
+
+class EDMGroupNorm(nn.Module):
+    """GroupNorm with num_groups=min(32, C//4) and fp32 statistics
+    (networks.py:96-106)."""
+
+    num_groups: int = 32
+    min_channels_per_group: int = 4
+    eps: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        c = x.shape[-1]
+        groups = min(self.num_groups, c // self.min_channels_per_group)
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        orig_dtype = x.dtype
+        xf = x.astype(jnp.float32)
+        shape = xf.shape
+        xf = xf.reshape(shape[:-1] + (groups, c // groups))
+        axes = tuple(range(1, xf.ndim - 2)) + (xf.ndim - 1,)
+        mean = jnp.mean(xf, axis=axes, keepdims=True)
+        var = jnp.var(xf, axis=axes, keepdims=True)
+        xf = (xf - mean) * jax.lax.rsqrt(var + self.eps)
+        xf = xf.reshape(shape)
+        out = xf * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+        return out.astype(orig_dtype)
+
+
+class PositionalEmbedding(nn.Module):
+    """DDPM++/ADM timestep embedding (networks.py:193-207): outer(t, freqs)
+    -> cat[cos, sin]."""
+
+    num_channels: int
+    max_positions: int = 10000
+    endpoint: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        half = self.num_channels // 2
+        freqs = jnp.arange(half, dtype=jnp.float32)
+        freqs = freqs / (half - (1 if self.endpoint else 0))
+        freqs = (1.0 / self.max_positions) ** freqs
+        args = jnp.outer(x.astype(jnp.float32), freqs)
+        return jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=1)
+
+
+class FourierEmbedding(nn.Module):
+    """NCSN++ random Fourier features (networks.py:213-220). The frequency
+    table is a non-trainable buffer, stored in the 'buffers' collection."""
+
+    num_channels: int
+    scale: float = 16.0
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        freqs = self.variable(
+            "buffers",
+            "freqs",
+            lambda: self.scale * jax.random.normal(self.make_rng("params"), (self.num_channels // 2,)),
+        ).value
+        args = jnp.outer(x.astype(jnp.float32), 2.0 * jnp.pi * freqs.astype(jnp.float32))
+        return jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=1)
+
+
+class UNetBlock(nn.Module):
+    """Unified DDPM++/NCSN++/ADM residual block (networks.py:134-187):
+    GN-SiLU-conv(resample), timestep-affine scale/shift (adaptive) or add,
+    GN-SiLU-dropout-conv(zero-init), residual with optional 1x1/resample
+    skip, then optional fp32-softmax self-attention with (head, ch, qkv)
+    interleaved projection layout (the layout pretrained ADM weights use).
+    """
+
+    out_channels: int
+    emb_channels: int
+    up: bool = False
+    down: bool = False
+    attention: bool = False
+    num_heads: int | None = None
+    channels_per_head: int = 64
+    dropout: float = 0.0
+    skip_scale: float = 1.0
+    eps: float = 1e-5
+    resample_filter: Sequence[int] = (1, 1)
+    resample_proj: bool = False
+    adaptive_scale: bool = True
+    init: dict = None  # type: ignore[assignment]
+    init_zero: dict = None  # type: ignore[assignment]
+    init_attn: dict = None  # type: ignore[assignment]
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, emb: jax.Array, *, train: bool = False) -> jax.Array:
+        init = dict(self.init or {})
+        init_zero = dict(self.init_zero or {"init_weight": 0.0})
+        init_attn = dict(self.init_attn) if self.init_attn is not None else init
+        in_channels = x.shape[-1]
+        heads = (
+            0
+            if not self.attention
+            else (
+                self.num_heads
+                if self.num_heads is not None
+                else self.out_channels // self.channels_per_head
+            )
+        )
+
+        orig = x
+        x = EDMGroupNorm(eps=self.eps, dtype=self.dtype, name="norm0")(x)
+        x = EDMConv(
+            self.out_channels, 3, up=self.up, down=self.down,
+            resample_filter=self.resample_filter, dtype=self.dtype, name="conv0", **init,
+        )(nn.silu(x))
+
+        affine_out = self.out_channels * (2 if self.adaptive_scale else 1)
+        params = EDMLinear(affine_out, dtype=self.dtype, name="affine", **init)(emb)
+        params = params[:, None, None, :].astype(x.dtype)
+        if self.adaptive_scale:
+            scale, shift = jnp.split(params, 2, axis=-1)
+            x = nn.silu(shift + EDMGroupNorm(eps=self.eps, dtype=self.dtype, name="norm1")(x) * (scale + 1.0))
+        else:
+            x = nn.silu(EDMGroupNorm(eps=self.eps, dtype=self.dtype, name="norm1")(x + params))
+
+        if self.dropout > 0.0:
+            x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        x = EDMConv(self.out_channels, 3, dtype=self.dtype, name="conv1", **init_zero)(x)
+
+        if self.out_channels != in_channels or self.up or self.down:
+            kernel = 1 if (self.resample_proj or self.out_channels != in_channels) else 0
+            skip = EDMConv(
+                self.out_channels, kernel, up=self.up, down=self.down,
+                resample_filter=self.resample_filter, dtype=self.dtype, name="skip", **init,
+            )(orig)
+        else:
+            skip = orig
+        x = (x + skip) * self.skip_scale
+
+        if heads:
+            b, h, w_, c = x.shape
+            cph = c // heads
+            qkv = EDMConv(c * 3, 1, dtype=self.dtype, name="qkv", **init_attn)(
+                EDMGroupNorm(eps=self.eps, dtype=self.dtype, name="norm2")(x)
+            )
+            # channel layout (heads, cph, 3): matches the reference's
+            # reshape(N*heads, C//heads, 3, HW) on NCHW (networks.py:183).
+            qkv = qkv.reshape(b, h * w_, heads, cph, 3)
+            q, k, v = qkv[..., 0], qkv[..., 1], qkv[..., 2]
+            a = multihead_attention_fp32(q, k, v)  # [B, T, heads, cph]
+            a = a.reshape(b, h, w_, c)
+            x = EDMConv(c, 1, dtype=self.dtype, name="proj", **init_zero)(a) + x
+            x = x * self.skip_scale
+        return x
+
+
+__all__ = [
+    "EDMLinear",
+    "EDMConv",
+    "EDMGroupNorm",
+    "PositionalEmbedding",
+    "FourierEmbedding",
+    "UNetBlock",
+]

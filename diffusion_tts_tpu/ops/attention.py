@@ -1,0 +1,64 @@
+"""Self-attention for UNet feature maps with fp32-softmax semantics.
+
+The reference computes attention weights in fp32 regardless of activation
+dtype (AttentionOp, edm/training/networks.py:113-126): softmax_k(q.k /
+sqrt(d)) with q,k upcast, then w @ v in the original dtype. This module
+keeps those numerics but in NHWC/[B,T,H,D] layout so XLA tiles the two
+matmuls onto the MXU; a fused Pallas flash-attention kernel (ops/pallas/
+attention.py) is used on TPU for large T when enabled.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def multihead_attention_fp32(
+    q: jax.Array, k: jax.Array, v: jax.Array, *, use_pallas: bool | None = None
+) -> jax.Array:
+    """Attention with fp32 softmax.
+
+    Args:
+      q, k, v: [B, T, H, D] (batch, tokens, heads, head_dim), any float dtype.
+      use_pallas: force/forbid the fused Pallas kernel; None = auto (TPU and
+        shape-eligible).
+
+    Returns:
+      [B, T, H, D] in q.dtype. Matches the reference AttentionOp numerics:
+      scores = (q_fp32) . (k/sqrt(D))_fp32, softmax over keys in fp32,
+      output = w @ v computed in v.dtype.
+    """
+    if use_pallas is None:
+        use_pallas = _pallas_eligible(q)
+    if use_pallas:
+        from diffusion_tts_tpu.ops.pallas.attention import flash_attention
+
+        return flash_attention(q, k, v)
+    return _xla_attention(q, k, v)
+
+
+def _pallas_eligible(q: jax.Array) -> bool:
+    if jax.default_backend() not in ("tpu", "axon"):
+        return False
+    b, t, h, d = q.shape
+    # Pallas pays off once the score matrix stops fitting in registers/VMEM
+    # comfortably; tiny feature maps are faster through plain XLA fusion.
+    return t >= 1024 and d % 8 == 0
+
+
+def _xla_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
+    orig_dtype = q.dtype
+    d = q.shape[-1]
+    scale = 1.0 / jnp.sqrt(jnp.asarray(d, jnp.float32))
+    qf = q.astype(jnp.float32)
+    kf = (k.astype(jnp.float32)) * scale
+    # [B, H, Tq, Tk]
+    scores = jnp.einsum("bqhd,bkhd->bhqk", qf, kf, preferred_element_type=jnp.float32)
+    w = jax.nn.softmax(scores, axis=-1).astype(orig_dtype)
+    out = jnp.einsum("bhqk,bkhd->bqhd", w, v, preferred_element_type=jnp.float32)
+    return out.astype(orig_dtype)
+
+
+__all__ = ["multihead_attention_fp32"]
