@@ -1,0 +1,114 @@
+"""Scorer suite tests: brightness parity, compressibility exact + proxy,
+ImageNet classifier head, CLIP similarity (tiny random model)."""
+import io
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffusion_tts_tpu.scorers import (
+    BrightnessScorer,
+    CompressibilityScorer,
+    ImageNetScorer,
+    quantize_to_uint8_grid,
+)
+from diffusion_tts_tpu.scorers.compressibility import jpeg_proxy_bits, _host_jpeg_sizes
+
+
+def _rand_images(n=3, size=16, seed=0):
+    return np.random.default_rng(seed).uniform(0, 1, (n, size, size, 3)).astype(np.float32)
+
+
+def test_quantize_matches_torch_uint8_cast():
+    # torch: (x*127.5+128).clip(0,255).to(uint8) truncates
+    x = np.linspace(-1.2, 1.2, 97).astype(np.float32).reshape(1, 1, 97, 1)
+    ours = np.asarray(quantize_to_uint8_grid(jnp.asarray(x))) * 255.0
+    expected = np.clip(x * 127.5 + 128.0, 0, 255).astype(np.uint8).astype(np.float32)
+    np.testing.assert_array_equal(ours, expected)
+
+
+def test_brightness_reference_formula():
+    imgs = _rand_images()
+    s = BrightnessScorer()(jnp.asarray(imgs))
+    w = np.array([0.2126, 0.7152, 0.0722], np.float32)
+    expected = np.clip((imgs * w).sum(-1).mean((1, 2)), 0, 1)
+    np.testing.assert_allclose(np.asarray(s), expected, rtol=1e-6)
+    # non-RGB fallback: mean over everything
+    g = _rand_images()[:, :, :, :1]
+    sg = BrightnessScorer()(jnp.asarray(g))
+    np.testing.assert_allclose(np.asarray(sg), g.mean((1, 2, 3)), rtol=1e-6)
+
+
+def test_compressibility_exact_matches_pil():
+    from PIL import Image
+
+    imgs = _rand_images(4, 32, seed=1)
+    s = CompressibilityScorer(quality=80, max_size=3000.0, mode="jpeg")
+    scores = np.asarray(s(jnp.asarray(imgs)))
+    for i in range(4):
+        buf = io.BytesIO()
+        Image.fromarray(np.round(imgs[i] * 255).astype(np.uint8)).save(
+            buf, format="JPEG", quality=80
+        )
+        size = len(buf.getvalue())
+        expected = 1.0 - min(1.0, max(0.0, (size - 0) / 3000.0))
+        np.testing.assert_allclose(scores[i], expected, atol=1e-6)
+
+
+def test_compressibility_jpeg_under_jit():
+    imgs = jnp.asarray(_rand_images(2, 16))
+    s = CompressibilityScorer(mode="jpeg")
+    jitted = jax.jit(lambda x: s(x))
+    np.testing.assert_allclose(np.asarray(jitted(imgs)), np.asarray(s(imgs)), atol=1e-6)
+
+
+def test_compressibility_proxy_correlates_and_jits():
+    rng = np.random.default_rng(0)
+    imgs = []
+    for sc in [1, 2, 4, 8, 16]:
+        x = rng.uniform(0, 1, (64 // sc, 64 // sc, 3))
+        imgs.append(np.kron(x, np.ones((sc, sc, 1)))[:64, :64])
+    batch = np.stack(imgs).astype(np.float32)
+    bits = np.asarray(jax.jit(jpeg_proxy_bits, static_argnums=1)(jnp.asarray(batch), 80))
+    sizes = _host_jpeg_sizes(np.round(batch * 255).astype(np.uint8), 80)
+    r = np.corrcoef(bits, sizes)[0, 1]
+    assert r > 0.9, f"proxy decorrelated from real JPEG size: r={r}"
+    # the proxy ranks the smooth image as more compressible
+    s = CompressibilityScorer(mode="dct")
+    scores = np.asarray(s(jnp.asarray(batch)))
+    assert scores[-1] > scores[0]
+
+
+def test_imagenet_scorer_head():
+    scorer = ImageNetScorer(
+        image_size=16, model_channels=32, out_channels=10, num_res_blocks=1,
+        attention_resolutions=(2,), channel_mult=(1, 2), num_head_channels=64,
+    )
+    imgs = jnp.asarray(_rand_images(2, 16))
+    onehot = jnp.eye(10)[jnp.array([3, 7])]
+    s1 = scorer(imgs, onehot)
+    s2 = scorer(imgs, jnp.array([3, 7]))
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-6)
+    assert s1.shape == (2,) and np.all(np.asarray(s1) >= 0) and np.all(np.asarray(s1) <= 1)
+    # matches manual softmax-gather
+    logits = scorer._apply(scorer.variables, imgs, jnp.zeros((2,)))
+    probs = np.asarray(jax.nn.softmax(logits, -1))
+    np.testing.assert_allclose(np.asarray(s1), probs[[0, 1], [3, 7]], rtol=1e-5)
+
+
+def test_clip_scorer_tiny():
+    from diffusion_tts_tpu.scorers import CLIPScorer
+
+    scorer = CLIPScorer.random_init(seed=0)
+    imgs = jnp.asarray(_rand_images(2, 32))
+    ids = jnp.asarray(np.random.default_rng(0).integers(0, 999, (1, 8)), jnp.int32)
+    s = scorer(imgs, ids)
+    assert s.shape == (2,)
+    assert np.all(np.abs(np.asarray(s)) <= 1.0 + 1e-5)
+    # precomputed text features give the same answer (the caching path)
+    txt = scorer.text_features(ids)
+    s2 = scorer(imgs, txt)
+    np.testing.assert_allclose(np.asarray(s), np.asarray(s2), rtol=2e-5, atol=2e-6)
+    # no cond -> zeros (reference sd/scorers.py:183-186)
+    np.testing.assert_array_equal(np.asarray(scorer(imgs, None)), np.zeros(2))
