@@ -86,23 +86,27 @@ class EDMHeunSampler:
     ) -> tuple[jax.Array, jax.Array]:
         """One churn+Euler(+Heun) step (reference edm/main.py:82-96).
 
-        i may be traced (inside scan). Returns (x_next, denoised) where
-        denoised is the prediction the reference scores (D2 when the Heun
-        correction ran, else D1).
+        i may be traced (inside scan) and may be a scalar or a per-element
+        [batch] vector (MCTS expands nodes at different depths in one call).
+        Returns (x_next, denoised) where denoised is the prediction the
+        reference scores (D2 when the Heun correction ran, else D1).
         """
         i = jnp.asarray(i, jnp.int32)
-        t_hat = self._t_hat[i]
-        t_next = self._t_steps[i + 1]
-        h = self._h[i]
-        x_hat = x + self._noise_scale[i] * eps
-        d1 = self.denoise(x_hat, jnp.broadcast_to(t_hat, (x.shape[0],)))
+        bc = lambda v: v.reshape(v.shape + (1,) * (x.ndim - v.ndim))  # [B]->[B,1,1,1]
+        t_hat = bc(self._t_hat[i])
+        t_next = bc(self._t_steps[i + 1])
+        h = bc(self._h[i])
+        x_hat = x + bc(self._noise_scale[i]) * eps
+        # sigma argument for the denoiser: flatten [B,1,..]/[1,..] -> [B]
+        flat = lambda t: jnp.broadcast_to(t[(...,) + (0,) * (x.ndim - 1)], (x.shape[0],))
+        d1 = self.denoise(x_hat, flat(t_hat))
         d_cur = (x_hat - d1) / t_hat
         x_eul = x_hat + h * d_cur
         if not second_order:
             return x_eul, d1
-        is_last = i >= self.num_steps - 1
+        is_last = bc(jnp.asarray(i >= self.num_steps - 1))
         t_next_safe = jnp.where(is_last, jnp.float32(1.0), t_next)
-        d2 = self.denoise(x_eul, jnp.broadcast_to(t_next_safe, (x.shape[0],)))
+        d2 = self.denoise(x_eul, flat(t_next_safe))
         d_prime = (x_eul - d2) / t_next_safe
         x_heun = x_hat + h * (0.5 * d_cur + 0.5 * d_prime)
         x_next = jnp.where(is_last, x_eul, x_heun)

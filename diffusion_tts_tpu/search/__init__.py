@@ -1,0 +1,2 @@
+from diffusion_tts_tpu.search.backend import EDMSearchBackend, SearchBackend  # noqa: F401
+from diffusion_tts_tpu.search.api import SearchResult, run_search  # noqa: F401

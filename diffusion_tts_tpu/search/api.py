@@ -1,0 +1,75 @@
+"""Unified search entry point: the six methods behind one call.
+
+Counterpart of the reference's method dispatch (edm/main.py:27-33 enum,
+main.py:168-175 CLI map) with the whole search compiled as one XLA program
+per (method, shape, params) — candidate expansion, scoring, and selection
+never leave the device.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from diffusion_tts_tpu.search.beam import beam_search
+from diffusion_tts_tpu.search.mcts import mcts_search
+from diffusion_tts_tpu.search.naive import naive_sample, rejection_search
+from diffusion_tts_tpu.search.zero_order import eps_greedy_search, zero_order_search
+from diffusion_tts_tpu.utils.config import SearchParams
+
+METHODS = ("naive", "rejection", "beam", "mcts", "zero_order", "eps_greedy")
+
+
+@dataclasses.dataclass
+class SearchResult:
+    x: jax.Array  # terminal latents [B, ...]
+    images: jax.Array  # decoded images01 [B, H, W, C]
+    score: jax.Array  # final reward per sample [B]
+    best_noises: Any = None  # [steps, K, B, ...] when recorded (dmap dump)
+
+
+def run_search(
+    method: str,
+    backend,
+    z: jax.Array,
+    key: jax.Array,
+    params: SearchParams | None = None,
+    *,
+    record_noises: bool = False,
+    mcts_rollout_batch: int | None = None,
+    jit: bool = True,
+) -> SearchResult:
+    """Run one search method end-to-end. z: [B, ...] unit-variance latents;
+    the final image and score are always computed (edm/main.py:869-877)."""
+    params = params or SearchParams()
+    if method not in METHODS:
+        raise ValueError(f"unknown method {method!r}; expected one of {METHODS}")
+
+    def go(z, key):
+        noises = None
+        if method == "naive":
+            x = naive_sample(backend, z, key)
+        elif method == "rejection":
+            x, _ = rejection_search(backend, z, key, params.N)
+        elif method == "beam":
+            x = beam_search(backend, z, key, params).x
+        elif method == "mcts":
+            x = mcts_search(backend, z, key, params, rollout_batch=mcts_rollout_batch).x
+        elif method == "zero_order":
+            r = zero_order_search(backend, z, key, params, record_noises=record_noises)
+            x, noises = r.x, r.best_noises
+        else:  # eps_greedy
+            r = eps_greedy_search(backend, z, key, params, record_noises=record_noises)
+            x, noises = r.x, r.best_noises
+        images = backend.final_images(x)
+        score = backend.score(images)
+        return x, images, score, noises
+
+    fn = jax.jit(go) if jit else go
+    x, images, score, noises = fn(z, key)
+    return SearchResult(x=x, images=images, score=score, best_noises=noises)
+
+
+__all__ = ["run_search", "SearchResult", "METHODS"]

@@ -1,0 +1,272 @@
+"""MCTS over noise trajectories, TPU-native.
+
+Behavioral counterpart of the EDM reference's per-timestep MCTS
+(edm/main.py:405-713) — the complete implementation (the SD one never
+scores simulations or updates visits, SURVEY.md §2b; here one correct
+engine serves both backends):
+
+  per timestep: (1) expand the root with b noise candidates if unexpanded;
+  (2) run S rollouts: UCB1 selection (exploit r/v + explore
+  sqrt(2 ln v_parent / v_child), unvisited = +inf) down the persisted tree,
+  expansion of the reached leaf with b children using a per-depth noise
+  table (edm/main.py:437-447 — the same table is reused by every expansion
+  at a depth), a random child pick, then a ZERO-NOISE deterministic rollout
+  to t=0 whose terminal score is backpropagated along the path;
+  (3) advance the root to the child with best average reward. The tree
+  (and its statistics) persists across timesteps.
+
+TPU re-architecture (SURVEY.md §7 hard part 2): the dict-of-tensors tree
+becomes fixed-capacity per-sample arrays with a leading batch axis —
+states [B, MAXN, ...], children [B, MAXN, b], visits/rewards [B, MAXN] —
+so selection is vectorized gathers, expansion is one batched denoise of
+B*b candidates, and all rollouts of a phase run as one batched trajectory.
+
+``rollout_batch`` controls how many rollouts share pre-phase UCB statistics
+(selection still sees tree growth, but visit counts update only at phase
+end). The reference batches up to 16 simulations this way
+(edm/main.py:518-520), which with default S=8 means ALL rollouts of a
+timestep see stale stats; rollout_batch=1 gives textbook sequential MCTS
+(better rewards, less step-level parallelism).
+"""
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from diffusion_tts_tpu.utils.config import SearchParams
+from diffusion_tts_tpu.utils.rng import fold_in_path
+
+_SALT_TAB = 0x41
+_SALT_PICK = 0x42
+
+_NEG_INF = jnp.float32(-1e30)
+_POS_INF = jnp.float32(1e30)
+
+
+class MCTSResult(NamedTuple):
+    x: jax.Array  # terminal latents [B, ...]
+
+
+class _Tree(NamedTuple):
+    states: jax.Array  # [B, MAXN, *feat]
+    parent: jax.Array  # [B, MAXN] int32
+    depth: jax.Array  # [B, MAXN] int32
+    children: jax.Array  # [B, MAXN, b] int32, -1 = empty
+    n_children: jax.Array  # [B, MAXN] int32
+    reward: jax.Array  # [B, MAXN] float32
+    visits: jax.Array  # [B, MAXN] int32
+    count: jax.Array  # [] int32 (synchronized across samples)
+    root: jax.Array  # [B] int32
+
+
+def mcts_search(
+    backend,
+    z: jax.Array,
+    key: jax.Array,
+    params: SearchParams,
+    *,
+    rollout_batch: int | None = None,
+) -> MCTSResult:
+    b_exp = params.N  # branching factor (reference: b = method_params.N)
+    s_rollouts = params.S  # rollouts per timestep (reference: N = method_params.S)
+    if rollout_batch is None:
+        rollout_batch = s_rollouts  # reference's batched-simulation semantics
+    n_phases = -(-s_rollouts // rollout_batch)
+    rollout_batch = min(rollout_batch, s_rollouts)
+
+    bsz = z.shape[0]
+    num_steps = backend.num_steps
+    feat_shape = z.shape[1:]
+    feat_ndim = len(feat_shape)
+    maxn = 1 + num_steps * (1 + n_phases * rollout_batch) * b_exp
+    max_path = num_steps + 2
+    b_idx = jnp.arange(bsz)
+
+    x0 = backend.init_latents(z)
+    # per-depth noise table, drawn once (edm/main.py:437-447)
+    noise_tab = jax.random.normal(
+        fold_in_path(key, _SALT_TAB), (num_steps, bsz, b_exp) + feat_shape, jnp.float32
+    )
+
+    tree = _Tree(
+        states=jnp.zeros((bsz, maxn) + feat_shape, jnp.float32).at[:, 0].set(x0),
+        parent=jnp.full((bsz, maxn), -1, jnp.int32),
+        depth=jnp.zeros((bsz, maxn), jnp.int32),
+        children=jnp.full((bsz, maxn, b_exp), -1, jnp.int32),
+        n_children=jnp.zeros((bsz, maxn), jnp.int32),
+        reward=jnp.zeros((bsz, maxn), jnp.float32).at[:, 0].set(0.0),
+        visits=jnp.zeros((bsz, maxn), jnp.int32).at[:, 0].set(1),
+        count=jnp.asarray(1, jnp.int32),
+        root=jnp.zeros((bsz,), jnp.int32),
+    )
+
+    def expand_nodes(tree: _Tree, nodes: jax.Array, do_expand: jax.Array) -> _Tree:
+        """Add b_exp children to `nodes` [B] where do_expand [B]; always
+        consumes b_exp slots (masked writes keep unexpanded lanes intact)."""
+        d = tree.depth[b_idx, nodes]  # [B]
+        x_par = tree.states[b_idx, nodes]  # [B, *feat]
+        eps = jnp.take_along_axis(
+            noise_tab,
+            jnp.clip(d, 0, num_steps - 1).reshape((1, bsz, 1) + (1,) * feat_ndim),
+            axis=0,
+        )[0]  # [B, b_exp, *feat]
+        x_flat = jnp.repeat(x_par, b_exp, axis=0)  # [B*b, ...] sample-major
+        eps_flat = eps.reshape((bsz * b_exp,) + feat_shape)
+        d_flat = jnp.repeat(jnp.clip(d, 0, num_steps - 1), b_exp)
+        aux = backend.base_step(x_flat, d_flat)
+        child_states = backend.advance(x_flat, d_flat, aux, eps_flat)
+        child_states = child_states.reshape((bsz, b_exp) + feat_shape)
+
+        new_ids = tree.count + jnp.arange(b_exp, dtype=jnp.int32)  # [b]
+        ids_b = jnp.broadcast_to(new_ids, (bsz, b_exp))
+        mask = do_expand[:, None]
+        maskf = do_expand.reshape((bsz,) + (1,) * (feat_ndim + 1))
+
+        states = jax.lax.dynamic_update_slice(
+            tree.states,
+            jnp.where(
+                maskf,
+                child_states,
+                jax.lax.dynamic_slice(
+                    tree.states, (0, tree.count) + (0,) * feat_ndim,
+                    (bsz, b_exp) + feat_shape,
+                ),
+            ),
+            (0, tree.count) + (0,) * feat_ndim,
+        )
+        upd = lambda arr, val: jax.lax.dynamic_update_slice(
+            arr,
+            jnp.where(
+                mask, val,
+                jax.lax.dynamic_slice(arr, (0, tree.count), (bsz, b_exp)),
+            ),
+            (0, tree.count),
+        )
+        parent = upd(tree.parent, jnp.broadcast_to(nodes[:, None], (bsz, b_exp)))
+        depth = upd(tree.depth, jnp.broadcast_to((d + 1)[:, None], (bsz, b_exp)))
+        reward = upd(tree.reward, jnp.zeros((bsz, b_exp), jnp.float32))
+        visits = upd(tree.visits, jnp.zeros((bsz, b_exp), jnp.int32))
+        slot_idx = jnp.arange(b_exp)[None, :]
+        current = tree.children[b_idx[:, None], nodes[:, None], slot_idx]
+        children = tree.children.at[b_idx[:, None], nodes[:, None], slot_idx].set(
+            jnp.where(mask, ids_b, current)  # preserve untouched lanes
+        )
+        n_children = tree.n_children.at[b_idx, nodes].set(
+            jnp.where(do_expand, b_exp, tree.n_children[b_idx, nodes])
+        )
+        return tree._replace(
+            states=states, parent=parent, depth=depth, children=children,
+            n_children=n_children, reward=reward, visits=visits,
+            count=tree.count + b_exp,
+        )
+
+    def select_path(tree: _Tree) -> tuple[jax.Array, jax.Array, jax.Array]:
+        """UCB descent from root. Returns (leaf [B], path [B, max_path],
+        path_len [B]). path[:,0] = root."""
+        path = jnp.full((bsz, max_path), -1, jnp.int32).at[:, 0].set(tree.root)
+
+        def body(t, carry):
+            node, path, plen, active = carry
+            ch = tree.children[b_idx, node]  # [B, b]
+            valid = ch >= 0
+            ch_safe = jnp.maximum(ch, 0)
+            v_c = tree.visits[b_idx[:, None], ch_safe].astype(jnp.float32)
+            r_c = tree.reward[b_idx[:, None], ch_safe]
+            v_p = jnp.maximum(tree.visits[b_idx, node].astype(jnp.float32), 1.0)
+            explore = jnp.sqrt(2.0 * jnp.log(v_p)[:, None] / jnp.maximum(v_c, 1.0))
+            ucb = jnp.where(v_c == 0, _POS_INF, r_c / jnp.maximum(v_c, 1.0) + explore)
+            ucb = jnp.where(valid, ucb, _NEG_INF)
+            sel = jnp.argmax(ucb, axis=1)
+            nxt = ch_safe[b_idx, sel]
+            node_new = jnp.where(active, nxt, node)
+            path = path.at[b_idx, jnp.where(active, t + 1, max_path - 1)].set(
+                jnp.where(active, node_new, path[:, max_path - 1])
+            )
+            plen = plen + active.astype(jnp.int32)
+            active = active & (tree.n_children[b_idx, node_new] > 0)
+            return node_new, path, plen, active
+
+        active0 = tree.n_children[b_idx, tree.root] > 0
+        node, path, plen, _ = jax.lax.fori_loop(
+            0, num_steps + 1, body, (tree.root, path, jnp.ones((bsz,), jnp.int32), active0)
+        )
+        return node, path, plen
+
+    def timestep_body(tree: _Tree, i: jax.Array) -> tuple[_Tree, None]:
+        # (1) root expansion if unexpanded (edm/main.py:464-514)
+        need = tree.n_children[b_idx, tree.root] == 0
+        tree = expand_nodes(tree, tree.root, need)
+
+        # (2) phases of rollouts
+        def phase_body(tree: _Tree, phase: jax.Array) -> tuple[_Tree, None]:
+            def rollout_body(carry, r):
+                tree = carry
+                leaf, path, plen = select_path(tree)
+                d_leaf = tree.depth[b_idx, leaf]
+                do_expand = d_leaf < num_steps - 1
+                first_child = tree.count  # ids of the children about to be added
+                tree = expand_nodes(tree, leaf, do_expand)
+                pick = jax.random.randint(
+                    fold_in_path(key, _SALT_PICK, i, phase, r), (bsz,), 0, b_exp
+                )
+                picked = first_child + pick
+                node = jnp.where(do_expand, picked, leaf)
+                path = path.at[b_idx, jnp.where(do_expand, plen, max_path - 1)].set(
+                    jnp.where(do_expand, node, path[:, max_path - 1])
+                )
+                plen = plen + do_expand.astype(jnp.int32)
+                sim_x = tree.states[b_idx, node]
+                sim_d = tree.depth[b_idx, node]
+                return tree, (sim_x, sim_d, path)
+
+            tree, (sim_x, sim_d, paths) = jax.lax.scan(
+                rollout_body, tree, jnp.arange(rollout_batch, dtype=jnp.int32)
+            )
+            # batched zero-noise simulations (edm/main.py:616-645)
+            r = rollout_batch
+            sim_x_flat = sim_x.reshape((r * bsz,) + feat_shape)
+            sim_d_flat = sim_d.reshape(r * bsz)
+            images = backend.rollout(sim_x_flat, sim_d_flat)
+            rewards = backend.score(images).reshape(r, bsz)
+
+            # deferred backprop (stale-stats semantics, edm/main.py:661-681)
+            def backprop(tree: _Tree, inp):
+                path, rew = inp  # [B, max_path], [B]
+                def slot(s, tr):
+                    idx = path[:, s]
+                    ok = idx >= 0
+                    idx_safe = jnp.maximum(idx, 0)
+                    reward = tr.reward.at[b_idx, idx_safe].add(jnp.where(ok, rew, 0.0))
+                    visits = tr.visits.at[b_idx, idx_safe].add(jnp.where(ok, 1, 0))
+                    return tr._replace(reward=reward, visits=visits)
+                tree = jax.lax.fori_loop(0, max_path, slot, tree)
+                return tree, None
+
+            tree, _ = jax.lax.scan(backprop, tree, (paths, rewards))
+            return tree, None
+
+        tree, _ = jax.lax.scan(
+            phase_body, tree, jnp.arange(n_phases, dtype=jnp.int32)
+        )
+
+        # (3) advance root to best-avg-reward child (edm/main.py:684-703)
+        ch = tree.children[b_idx, tree.root]
+        valid = ch >= 0
+        ch_safe = jnp.maximum(ch, 0)
+        v = tree.visits[b_idx[:, None], ch_safe].astype(jnp.float32)
+        rew = tree.reward[b_idx[:, None], ch_safe]
+        avg = jnp.where(valid & (v > 0), rew / jnp.maximum(v, 1.0), _NEG_INF)
+        best = jnp.argmax(avg, axis=1)
+        new_root = ch_safe[b_idx, best]
+        return tree._replace(root=new_root), None
+
+    tree, _ = jax.lax.scan(
+        timestep_body, tree, jnp.arange(num_steps, dtype=jnp.int32)
+    )
+    return MCTSResult(x=tree.states[b_idx, tree.root])
+
+
+__all__ = ["mcts_search", "MCTSResult"]

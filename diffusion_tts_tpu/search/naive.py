@@ -1,0 +1,61 @@
+"""Naive sampling and rejection (best-of-N) search.
+
+naive: fresh Gaussian churn/variance noise per step, one trajectory
+(reference edm/main.py:862-866; pipeline_stable_diffusion.py:1335-1366).
+rejection: N independent full trajectories batched on the leading axis,
+terminal-reward argmax per sample (edm/main.py:101-137; the SD side runs
+the same restart loop OUTSIDE the pipeline, main.py:134-143).
+
+TPU shape: one ``lax.scan`` over steps; rejection folds the N restarts into
+the batch so the whole search is a single compiled program.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from diffusion_tts_tpu.utils.rng import fold_in_path
+
+_SALT_STEP = 0x5A1
+
+
+def naive_sample(backend, z: jax.Array, key: jax.Array) -> jax.Array:
+    """One trajectory with fresh per-step noise. Returns terminal latents."""
+    x = backend.init_latents(z)
+
+    def body(x, i):
+        eps = jax.random.normal(fold_in_path(key, _SALT_STEP, i), x.shape, x.dtype)
+        aux = backend.base_step(x, i)
+        return backend.advance(x, i, aux, eps), None
+
+    steps = jnp.arange(backend.num_steps, dtype=jnp.int32)
+    x, _ = jax.lax.scan(body, x, steps)
+    return x
+
+
+def rejection_search(backend, z: jax.Array, key: jax.Array, n: int) -> tuple[jax.Array, jax.Array]:
+    """Best-of-N full trajectories. Returns (best terminal latents [B,...],
+    best scores [B])."""
+    b = z.shape[0]
+    z_rep = jnp.tile(z, (n,) + (1,) * (z.ndim - 1))  # [N*B, ...] candidate-major
+    x = backend.init_latents(z_rep)
+
+    def body(x, i):
+        eps = jax.random.normal(fold_in_path(key, _SALT_STEP, i), x.shape, x.dtype)
+        aux = backend.base_step(x, i)
+        return backend.advance(x, i, aux, eps), None
+
+    steps = jnp.arange(backend.num_steps, dtype=jnp.int32)
+    x, _ = jax.lax.scan(body, x, steps)
+
+    images = backend.final_images(x)
+    scores = backend.score(images).reshape(n, b)
+    best = jnp.argmax(scores, axis=0)  # [B]
+    x_nb = x.reshape((n, b) + x.shape[1:])
+    x_best = jnp.take_along_axis(
+        x_nb, best[None, :].reshape((1, b) + (1,) * (x.ndim - 1)), axis=0
+    )[0]
+    return x_best, jnp.max(scores, axis=0)
+
+
+__all__ = ["naive_sample", "rejection_search"]

@@ -1,0 +1,108 @@
+"""Zero-order local search and epsilon-greedy search over injected noise.
+
+Reference semantics (shared branch edm/main.py:714-866; SD else-branch
+pipeline_stable_diffusion.py:1368-1435): per timestep, start from a fresh
+Gaussian pivot, run K local-search iterations; each iteration draws N
+candidates — with prob (1-eps) a perturbation ``pivot + U(0,1)*lambda*
+sqrt(CHW) * unit(randn)``, with prob eps a fresh Gaussian (the Bernoulli is
+a single scalar per (k, n), shared across the batch, edm/main.py:751) —
+steps all candidates, scores the decoded pred-x0, and moves the pivot to
+the argmax. The final pivot drives the committed step.
+
+zero_order is eps=0 (pure local search; the paper's and SD's semantics —
+the EDM reference quirkily reuses the eps-greedy draw for zero_order too,
+see SURVEY.md §2b; we implement the intended method and let callers pass
+explore_eps explicitly for quirk-compat).
+
+TPU shape: scan over timesteps x scan over K, candidates batched into one
+denoiser call per iteration; argmax on device. The reference's per-process
+``hash()`` scale seeding (edm/main.py:774-779) is replaced by keyed uniform
+draws — strictly stronger determinism.
+"""
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from diffusion_tts_tpu.utils.config import SearchParams
+from diffusion_tts_tpu.utils.rng import fold_in_path, unit_normalize
+
+_SALT_PIVOT = 0x21
+_SALT_DIR = 0x22
+_SALT_SCALE = 0x23
+_SALT_BERN = 0x24
+_SALT_FRESH = 0x25
+
+
+class ZeroOrderResult(NamedTuple):
+    x: jax.Array  # terminal latents [B, ...]
+    best_noises: jax.Array | None  # [steps, K, B, ...] selected pivots (dmap dump)
+
+
+def zero_order_search(
+    backend,
+    z: jax.Array,
+    key: jax.Array,
+    params: SearchParams,
+    *,
+    explore_eps: float = 0.0,
+    record_noises: bool = False,
+) -> ZeroOrderResult:
+    n, k_iters = params.N, params.K
+    lam = params.lambda_ * math.sqrt(math.prod(z.shape[1:]))
+    b = z.shape[0]
+    x0 = backend.init_latents(z)
+    feat_shape = x0.shape[1:]
+
+    def step_body(x, i):
+        aux = backend.base_step(x, i)
+        pivot = jax.random.normal(fold_in_path(key, _SALT_PIVOT, i), x.shape, jnp.float32)
+
+        def k_body(pivot, k):
+            kd = fold_in_path(key, _SALT_DIR, i, k)
+            dirs = jax.random.normal(kd, (n,) + pivot.shape, jnp.float32)
+            dirs = unit_normalize(dirs.reshape((n * b,) + feat_shape)).reshape(dirs.shape)
+            scales = jax.random.uniform(
+                fold_in_path(key, _SALT_SCALE, i, k), (n, b) + (1,) * len(feat_shape)
+            ) * lam
+            perturbed = pivot[None] + scales * dirs
+            fresh = jax.random.normal(
+                fold_in_path(key, _SALT_FRESH, i, k), (n,) + pivot.shape, jnp.float32
+            )
+            # one Bernoulli per candidate slot, shared across the batch
+            # (edm/main.py:751: torch.rand(1) < (1 - eps))
+            explore = (
+                jax.random.uniform(fold_in_path(key, _SALT_BERN, i, k), (n,))
+                < explore_eps
+            ).reshape((n,) + (1,) * (pivot.ndim))
+            cands = jnp.where(explore, fresh, perturbed)
+
+            _, images = backend.expand(x, i, aux, cands)
+            scores = backend.score(images).reshape(n, b)
+            best = jnp.argmax(scores, axis=0)  # [B]
+            new_pivot = jnp.take_along_axis(
+                cands, best.reshape((1, b) + (1,) * len(feat_shape)), axis=0
+            )[0]
+            return new_pivot, new_pivot if record_noises else None
+
+        pivot, noises = jax.lax.scan(k_body, pivot, jnp.arange(k_iters, dtype=jnp.int32))
+        x_next = backend.advance(x, i, aux, pivot)
+        return x_next, noises
+
+    steps = jnp.arange(backend.num_steps, dtype=jnp.int32)
+    x, noises = jax.lax.scan(step_body, x0, steps)
+    return ZeroOrderResult(x=x, best_noises=noises)
+
+
+def eps_greedy_search(backend, z, key, params: SearchParams, *, record_noises=False):
+    """The paper's headline method: zero-order exploitation + eps-prob global
+    exploration (edm/main.py:789-795)."""
+    return zero_order_search(
+        backend, z, key, params, explore_eps=params.eps, record_noises=record_noises
+    )
+
+
+__all__ = ["zero_order_search", "eps_greedy_search", "ZeroOrderResult"]

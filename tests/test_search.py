@@ -1,0 +1,113 @@
+"""Search engine tests: the six methods on an analytic toy system where
+reward ordering is predictable (the tiny-model + deterministic-scorer
+pattern, SURVEY.md §4)."""
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffusion_tts_tpu.samplers.edm import EDMHeunSampler
+from diffusion_tts_tpu.scorers import BrightnessScorer
+from diffusion_tts_tpu.search import EDMSearchBackend, run_search
+from diffusion_tts_tpu.search.api import METHODS
+from diffusion_tts_tpu.utils.config import SearchParams
+
+
+def analytic_denoise(x, sigma):
+    # contraction toward zero; pred-x0 = x/(1+s^2)
+    s = jnp.reshape(sigma, (-1,) + (1,) * (x.ndim - 1)).astype(jnp.float32)
+    return x / (1.0 + s**2)
+
+
+@functools.lru_cache(maxsize=None)
+def make_backend(num_steps=6):
+    sampler = EDMHeunSampler(
+        denoise=analytic_denoise, num_steps=num_steps, sigma_min=0.002, sigma_max=10.0,
+        S_churn=20.0, S_min=0.01, S_max=50.0,
+    )
+    return EDMSearchBackend(sampler=sampler, scorer=BrightnessScorer(), scorer_cond=None)
+
+
+Z = jax.random.normal(jax.random.key(100), (2, 8, 8, 3))
+PARAMS = SearchParams(N=3, K=4, B=2, S=3)
+
+
+@pytest.mark.parametrize("method", METHODS)
+def test_methods_run_and_are_finite(method):
+    backend = make_backend()
+    res = run_search(method, backend, Z, jax.random.key(0), PARAMS)
+    assert res.x.shape == Z.shape
+    assert res.images.shape == Z.shape
+    assert res.score.shape == (2,)
+    assert np.all(np.isfinite(np.asarray(res.x)))
+    assert np.all((np.asarray(res.images) >= 0) & (np.asarray(res.images) <= 1))
+
+
+def test_search_beats_naive():
+    """Every search method should improve brightness over naive sampling
+    (the point of the whole framework)."""
+    backend = make_backend()
+    naive = run_search("naive", backend, Z, jax.random.key(0), PARAMS)
+    base = float(naive.score.mean())
+    for method in ("rejection", "beam", "zero_order", "eps_greedy", "mcts"):
+        res = run_search(method, backend, Z, jax.random.key(0), PARAMS)
+        assert float(res.score.mean()) > base, (
+            f"{method} did not beat naive: {float(res.score.mean()):.4f} <= {base:.4f}"
+        )
+
+
+def test_eps_greedy_explores_more_than_zero_order():
+    """With identical keys, the two methods share perturbation draws; they
+    must differ because eps-greedy swaps in fresh noise with prob eps."""
+    backend = make_backend()
+    zo = run_search("zero_order", backend, Z, jax.random.key(1), PARAMS)
+    eg = run_search("eps_greedy", backend, Z, jax.random.key(1), PARAMS)
+    assert not np.allclose(np.asarray(zo.x), np.asarray(eg.x))
+
+
+def test_determinism_same_key():
+    backend = make_backend()
+    a = run_search("eps_greedy", backend, Z, jax.random.key(2), PARAMS)
+    b = run_search("eps_greedy", backend, Z, jax.random.key(2), PARAMS)
+    np.testing.assert_array_equal(np.asarray(a.x), np.asarray(b.x))
+    c = run_search("eps_greedy", backend, Z, jax.random.key(3), PARAMS)
+    assert not np.array_equal(np.asarray(a.x), np.asarray(c.x))
+
+
+def test_zero_order_pivot_is_argmax():
+    """On a single step with K=1, the committed noise must be the argmax-
+    scoring candidate (selection correctness, edm/main.py:842-857)."""
+    from diffusion_tts_tpu.search.zero_order import zero_order_search
+
+    backend = make_backend(num_steps=1)
+    params = SearchParams(N=4, K=1)
+    key = jax.random.key(7)
+    res = zero_order_search(backend, Z, key, params, record_noises=True)
+    # reconstruct: x_final must equal advance(x0, 0, recorded_pivot)
+    x0 = backend.init_latents(Z)
+    pivot = res.best_noises[0, 0]  # [B, ...]
+    expected = backend.advance(x0, jnp.asarray(0), None, pivot)
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(expected), rtol=1e-5, atol=1e-5)
+
+
+def test_rejection_score_consistency():
+    backend = make_backend()
+    res = run_search("rejection", backend, Z, jax.random.key(4), PARAMS)
+    recomputed = backend.score(backend.final_images(res.x))
+    np.testing.assert_allclose(np.asarray(res.score), np.asarray(recomputed), rtol=1e-6)
+
+
+def test_mcts_textbook_mode_runs():
+    backend = make_backend()
+    res = run_search("mcts", backend, Z, jax.random.key(5), PARAMS, mcts_rollout_batch=1)
+    assert np.all(np.isfinite(np.asarray(res.x)))
+
+
+def test_noise_trajectory_recording():
+    backend = make_backend()
+    res = run_search(
+        "eps_greedy", backend, Z, jax.random.key(6), PARAMS, record_noises=True
+    )
+    assert res.best_noises.shape == (backend.num_steps, PARAMS.K) + Z.shape
