@@ -1,0 +1,119 @@
+"""Benchmark: denoise throughput of the flagship search configuration.
+
+Measures NFE/s/chip for the eps-greedy candidate-expansion step on the
+full-size EDM ImageNet-64 model (the north-star denominator, BASELINE.md):
+one compiled program steps N candidates through the Heun pair and scores
+them — the unit the reference executes as a Python loop with per-candidate
+host syncs (edm/main.py:800-857).
+
+vs_baseline = achieved model FLOP/s divided by the chip's peak bf16 FLOP/s
+(fraction of speed-of-light; the reference repo publishes no numbers to
+compare against — BASELINE.json published:{}).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+
+# The environment's sitecustomize force-registers the axon TPU platform; an
+# explicit JAX_PLATFORMS from the caller must still win (CPU smoke runs).
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+import jax.numpy as jnp
+
+
+PEAK_BF16_FLOPS = {
+    # per-chip dense peak
+    "v5 lite": 197e12,
+    "v5e": 197e12,
+    "v5p": 459e12,
+    "v4": 275e12,
+    "v6e": 918e12,
+    "cpu": 1e12,  # nominal, for local smoke runs
+}
+
+
+def _peak_flops() -> float:
+    d = jax.devices()[0]
+    kind = getattr(d, "device_kind", "cpu").lower()
+    for k, v in PEAK_BF16_FLOPS.items():
+        if k in kind:
+            return v
+    return 197e12
+
+
+def main():
+    from diffusion_tts_tpu.scorers import BrightnessScorer
+    from diffusion_tts_tpu.samplers.edm import EDMHeunSampler
+    from diffusion_tts_tpu.search.backend import EDMSearchBackend
+    import __graft_entry__ as ge
+
+    on_tpu = jax.default_backend() != "cpu"
+    net, res, label_dim = ge._flagship(tiny=not on_tpu)
+    batch, n_cand = (1, 4) if on_tpu else (1, 2)
+
+    x = jnp.zeros((batch, res, res, 3), jnp.float32)
+    sigma = jnp.full((batch,), 10.0, jnp.float32)
+    labels = jnp.eye(label_dim, dtype=jnp.float32)[jnp.arange(batch) % label_dim]
+    variables = jax.tree_util.tree_map(
+        lambda s: (jax.random.normal(jax.random.key(1), s.shape, jnp.float32) * 0.05
+                   ).astype(s.dtype),
+        jax.eval_shape(lambda: net.init({"params": jax.random.key(0)}, x, sigma, labels)),
+    )
+
+    denoise = lambda xx, ss: net.apply(variables, xx, ss, jnp.tile(labels, (xx.shape[0] // batch, 1)))
+    sampler = EDMHeunSampler(
+        denoise=denoise, num_steps=18, sigma_min=0.002, sigma_max=80.0,
+        S_churn=40.0, S_min=0.05, S_max=50.0, S_noise=1.003,
+    )
+    backend = EDMSearchBackend(sampler=sampler, scorer=BrightnessScorer())
+
+    # One eps-greedy inner iteration: expand N candidates (Heun pair = 2 NFE
+    # each) + score + argmax — the hot loop of the search engine.
+    @jax.jit
+    def inner(x_cur, eps):
+        _, images = backend.expand(x_cur, jnp.asarray(3), None, eps)
+        scores = backend.score(images).reshape(n_cand, batch)
+        best = jnp.argmax(scores, axis=0)
+        return jnp.take_along_axis(
+            eps, best.reshape((1, batch, 1, 1, 1)), axis=0
+        )[0]
+
+    x_cur = backend.init_latents(jax.random.normal(jax.random.key(2), x.shape))
+    eps = jax.random.normal(jax.random.key(3), (n_cand, batch, res, res, 3))
+    inner(x_cur, eps).block_until_ready()  # compile
+
+    # model FLOPs per single forward, from XLA's own cost analysis
+    fwd = jax.jit(lambda v, xx, ss: net.apply(v, xx, ss, labels))
+    cost = fwd.lower(variables, x, sigma).compile().cost_analysis()
+    flops_per_fwd = float(cost["flops"]) / batch if cost and "flops" in cost else 0.0
+
+    iters = 20 if on_tpu else 3
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = inner(x_cur, eps)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    nfe = iters * n_cand * batch * 2  # Heun pair per candidate
+    nfe_per_s = nfe / dt
+    achieved = nfe_per_s * flops_per_fwd
+    vs = achieved / _peak_flops()
+
+    print(json.dumps({
+        "metric": "edm_imagenet64_eps_greedy_expand_NFE_per_s_per_chip"
+                  if on_tpu else "edm_tiny_eps_greedy_expand_NFE_per_s (cpu smoke)",
+        "value": round(nfe_per_s, 2),
+        "unit": "NFE/s",
+        "vs_baseline": round(vs, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,243 @@
+"""Building blocks for the Stable Diffusion UNet/VAE in Flax, NHWC.
+
+Behavioral counterparts of the vendored diffusers model layers used by
+SD-1.5 (reference sd/diffusers/src/diffusers/models/: resnet.py
+ResnetBlock2D, attention.py BasicTransformerBlock, transformer_2d.py,
+downsampling.py/upsampling.py, unets/unet_2d_condition.py:172-227 for the
+config surface). Module names mirror the diffusers state-dict keys
+(norm1/conv1/time_emb_proj/..., attn1.to_q, ff.net_0.proj) so checkpoint
+conversion is a mechanical rename (models/sd_import.py).
+"""
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+def sd_timestep_embedding(
+    timesteps: jax.Array, dim: int, *, flip_sin_to_cos: bool = True,
+    downscale_freq_shift: float = 0.0, max_period: float = 10000.0,
+) -> jax.Array:
+    """diffusers get_timestep_embedding (embeddings.py): sin-first, then
+    flipped to [cos, sin] for SD."""
+    half = dim // 2
+    exponent = -math.log(max_period) * jnp.arange(half, dtype=jnp.float32)
+    exponent = exponent / (half - downscale_freq_shift)
+    emb = jnp.exp(exponent)[None, :] * timesteps.astype(jnp.float32)[:, None]
+    emb = jnp.concatenate([jnp.sin(emb), jnp.cos(emb)], axis=-1)
+    if flip_sin_to_cos:
+        emb = jnp.concatenate([emb[:, half:], emb[:, :half]], axis=-1)
+    return emb
+
+
+class GroupNorm(nn.Module):
+    """diffusers nn.GroupNorm(32, eps): fp32 statistics, NHWC."""
+
+    num_groups: int = 32
+    eps: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        c = x.shape[-1]
+        g = min(self.num_groups, c)
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        orig = x.dtype
+        xf = x.astype(jnp.float32)
+        shape = xf.shape
+        xf = xf.reshape(shape[:-1] + (g, c // g))
+        axes = tuple(range(1, xf.ndim - 2)) + (xf.ndim - 1,)
+        mean = jnp.mean(xf, axis=axes, keepdims=True)
+        var = jnp.var(xf, axis=axes, keepdims=True)
+        xf = ((xf - mean) * jax.lax.rsqrt(var + self.eps)).reshape(shape)
+        return (xf * scale + bias).astype(orig)
+
+
+def conv3(features, dtype, name, stride=1):
+    return nn.Conv(features, (3, 3), strides=(stride, stride),
+                   padding=[(1, 1), (1, 1)], dtype=dtype, name=name)
+
+
+class ResnetBlock2D(nn.Module):
+    """GN-SiLU-conv / +time / GN-SiLU-dropout-conv / +skip
+    (diffusers resnet.py ResnetBlock2D with time_scale_shift='default')."""
+
+    out_channels: int
+    use_temb: bool = True
+    dropout: float = 0.0
+    groups: int = 32
+    eps: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, temb=None, *, train=False):
+        in_ch = x.shape[-1]
+        h = nn.silu(GroupNorm(self.groups, self.eps, name="norm1")(x))
+        h = conv3(self.out_channels, self.dtype, "conv1")(h)
+        if self.use_temb and temb is not None:
+            t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(
+                nn.silu(temb)
+            )
+            h = h + t[:, None, None, :].astype(h.dtype)
+        h = nn.silu(GroupNorm(self.groups, self.eps, name="norm2")(h))
+        if self.dropout > 0.0:
+            h = nn.Dropout(self.dropout, deterministic=not train)(h)
+        h = conv3(self.out_channels, self.dtype, "conv2")(h)
+        if in_ch != self.out_channels:
+            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                        name="conv_shortcut")(x)
+        return x + h
+
+
+class CrossAttention(nn.Module):
+    """diffusers Attention: to_q/to_k/to_v (no bias) + to_out_0; softmax in
+    fp32 (upcast for TPU numerics; SD-1.5 sets upcast_attention=False but
+    runs fp16 on GPU — fp32 softmax here matches its fp32-reference
+    behavior)."""
+
+    heads: int
+    dim_head: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context=None):
+        context = x if context is None else context
+        inner = self.heads * self.dim_head
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(context)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(context)
+        b, tq, _ = q.shape
+        tk = k.shape[1]
+        q = q.reshape(b, tq, self.heads, self.dim_head)
+        k = k.reshape(b, tk, self.heads, self.dim_head)
+        v = v.reshape(b, tk, self.heads, self.dim_head)
+        scale = 1.0 / math.sqrt(self.dim_head)
+        attn = jnp.einsum(
+            "bqhd,bkhd->bhqk", q.astype(jnp.float32) * scale, k.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+        attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v,
+                         preferred_element_type=jnp.float32).astype(v.dtype)
+        out = out.reshape(b, tq, inner)
+        return nn.Dense(inner, dtype=self.dtype, name="to_out_0")(out)
+
+
+class FeedForward(nn.Module):
+    """GEGLU feed-forward (diffusers attention.py FeedForward/GEGLU):
+    proj to 2*4*dim, x * gelu(gate), project back."""
+
+    dim: int
+    mult: int = 4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        class _Geglu(nn.Module):
+            dim: int
+            mult: int
+            dtype: Any
+
+            @nn.compact
+            def __call__(self, x):
+                h = nn.Dense(self.dim * self.mult * 2, dtype=self.dtype, name="proj")(x)
+                h, gate = jnp.split(h, 2, axis=-1)
+                return h * nn.gelu(gate, approximate=False)
+
+        h = _Geglu(self.dim, self.mult, self.dtype, name="net_0")(x)
+        return nn.Dense(self.dim, dtype=self.dtype, name="net_2")(h)
+
+
+class BasicTransformerBlock(nn.Module):
+    """LN->self-attn, LN->cross-attn, LN->GEGLU FF, all residual."""
+
+    heads: int
+    dim_head: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context):
+        ln = lambda name: nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=name)
+        x = x + CrossAttention(self.heads, self.dim_head, self.dtype, name="attn1")(
+            ln("norm1")(x)
+        )
+        x = x + CrossAttention(self.heads, self.dim_head, self.dtype, name="attn2")(
+            ln("norm2")(x), context
+        )
+        x = x + FeedForward(x.shape[-1], dtype=self.dtype, name="ff")(ln("norm3")(x))
+        return x
+
+
+class Transformer2D(nn.Module):
+    """GN -> 1x1 conv proj_in -> transformer blocks -> 1x1 conv proj_out ->
+    residual (diffusers transformer_2d.py with use_linear_projection=False,
+    SD-1.5's configuration)."""
+
+    heads: int
+    dim_head: int
+    depth: int = 1
+    groups: int = 32
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context):
+        b, h, w, c = x.shape
+        residual = x
+        x = GroupNorm(self.groups, 1e-6, name="norm")(x)
+        x = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_in")(x)
+        x = x.reshape(b, h * w, c)
+        for d in range(self.depth):
+            x = BasicTransformerBlock(
+                self.heads, self.dim_head, self.dtype, name=f"transformer_blocks_{d}"
+            )(x, context)
+        x = x.reshape(b, h, w, c)
+        x = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(x)
+        return x + residual
+
+
+class Downsample2D(nn.Module):
+    """stride-2 conv; padding=1 symmetric (UNet) or 0 with (0,1) asymmetric
+    pad (VAE encoder) — diffusers downsampling.py."""
+
+    out_channels: int
+    padding: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        if self.padding == 0:
+            x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+            pad = [(0, 0), (0, 0)]
+        else:
+            pad = [(self.padding, self.padding)] * 2
+        return nn.Conv(self.out_channels, (3, 3), strides=(2, 2), padding=pad,
+                       dtype=self.dtype, name="conv")(x)
+
+
+class Upsample2D(nn.Module):
+    """nearest 2x + conv3 (diffusers upsampling.py)."""
+
+    out_channels: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c)).reshape(
+            b, 2 * h, 2 * w, c
+        )
+        return conv3(self.out_channels, self.dtype, "conv")(x)
+
+
+__all__ = [
+    "sd_timestep_embedding", "GroupNorm", "ResnetBlock2D", "CrossAttention",
+    "FeedForward", "BasicTransformerBlock", "Transformer2D", "Downsample2D",
+    "Upsample2D", "conv3",
+]

@@ -1,0 +1,186 @@
+"""AutoencoderKL (the SD latent VAE) in Flax, NHWC.
+
+Behavioral counterpart of the vendored diffusers AutoencoderKL
+(sd/diffusers/src/diffusers/models/autoencoders/autoencoder_kl.py:567 LoC,
+vae.py Encoder/Decoder) at the SD configuration: 4 DownEncoderBlocks /
+UpDecoderBlocks, single-head mid attention, scaling_factor 0.18215.
+Module names mirror the diffusers state dict.
+"""
+from __future__ import annotations
+
+from typing import Any, NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from diffusion_tts_tpu.models.sd_layers import (
+    Downsample2D,
+    GroupNorm,
+    ResnetBlock2D,
+    Upsample2D,
+    conv3,
+)
+
+Dtype = Any
+
+
+class VAEAttention(nn.Module):
+    """Mid-block self-attention over spatial tokens (diffusers Attention with
+    a single head of size C; GroupNorm input norm, fp32 softmax)."""
+
+    groups: int = 32
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        res = x
+        t = GroupNorm(self.groups, 1e-6, name="group_norm")(x).reshape(b, h * w, c)
+        q = nn.Dense(c, dtype=self.dtype, name="to_q")(t)
+        k = nn.Dense(c, dtype=self.dtype, name="to_k")(t)
+        v = nn.Dense(c, dtype=self.dtype, name="to_v")(t)
+        scale = 1.0 / jnp.sqrt(jnp.asarray(c, jnp.float32))
+        attn = jnp.einsum("bqc,bkc->bqk", q.astype(jnp.float32) * scale,
+                          k.astype(jnp.float32), preferred_element_type=jnp.float32)
+        attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
+        out = jnp.einsum("bqk,bkc->bqc", attn, v,
+                         preferred_element_type=jnp.float32).astype(v.dtype)
+        out = nn.Dense(c, dtype=self.dtype, name="to_out_0")(out)
+        return res + out.reshape(b, h, w, c)
+
+
+class _MidBlock(nn.Module):
+    groups: int
+    dtype: Dtype
+
+    @nn.compact
+    def __call__(self, x):
+        ch = x.shape[-1]
+        x = ResnetBlock2D(ch, use_temb=False, groups=self.groups, eps=1e-6,
+                          dtype=self.dtype, name="resnets_0")(x)
+        x = VAEAttention(self.groups, self.dtype, name="attentions_0")(x)
+        x = ResnetBlock2D(ch, use_temb=False, groups=self.groups, eps=1e-6,
+                          dtype=self.dtype, name="resnets_1")(x)
+        return x
+
+
+class Encoder(nn.Module):
+    block_out_channels: Sequence[int]
+    layers_per_block: int
+    latent_channels: int
+    groups: int
+    dtype: Dtype
+
+    @nn.compact
+    def __call__(self, x):
+        bo = self.block_out_channels
+        x = conv3(bo[0], self.dtype, "conv_in")(x)
+
+        class _Down(nn.Module):
+            out_ch: int
+            add_down: bool
+            cfg: Any
+
+            @nn.compact
+            def __call__(self, x):
+                p = self.cfg
+                for j in range(p.layers_per_block):
+                    x = ResnetBlock2D(self.out_ch, use_temb=False, groups=p.groups,
+                                      eps=1e-6, dtype=p.dtype, name=f"resnets_{j}")(x)
+                if self.add_down:
+                    x = Downsample2D(self.out_ch, padding=0, dtype=p.dtype,
+                                     name="downsamplers_0")(x)
+                return x
+
+        for i, ch in enumerate(bo):
+            x = _Down(out_ch=ch, add_down=(i < len(bo) - 1), cfg=self,
+                      name=f"down_blocks_{i}")(x)
+        x = _MidBlock(self.groups, self.dtype, name="mid_block")(x)
+        x = nn.silu(GroupNorm(self.groups, 1e-6, name="conv_norm_out")(x))
+        return conv3(2 * self.latent_channels, self.dtype, "conv_out")(x)
+
+
+class Decoder(nn.Module):
+    block_out_channels: Sequence[int]
+    layers_per_block: int
+    out_channels: int
+    groups: int
+    dtype: Dtype
+
+    @nn.compact
+    def __call__(self, z):
+        bo = self.block_out_channels
+        x = conv3(bo[-1], self.dtype, "conv_in")(z)
+        x = _MidBlock(self.groups, self.dtype, name="mid_block")(x)
+
+        class _Up(nn.Module):
+            out_ch: int
+            add_up: bool
+            cfg: Any
+
+            @nn.compact
+            def __call__(self, x):
+                p = self.cfg
+                for j in range(p.layers_per_block + 1):
+                    x = ResnetBlock2D(self.out_ch, use_temb=False, groups=p.groups,
+                                      eps=1e-6, dtype=p.dtype, name=f"resnets_{j}")(x)
+                if self.add_up:
+                    x = Upsample2D(self.out_ch, dtype=p.dtype, name="upsamplers_0")(x)
+                return x
+
+        for i, ch in enumerate(reversed(bo)):
+            x = _Up(out_ch=ch, add_up=(i < len(bo) - 1), cfg=self,
+                    name=f"up_blocks_{i}")(x)
+        x = nn.silu(GroupNorm(self.groups, 1e-6, name="conv_norm_out")(x))
+        return conv3(self.out_channels, self.dtype, "conv_out")(x)
+
+
+class EncoderOutput(NamedTuple):
+    mean: jax.Array
+    logvar: jax.Array
+
+    def sample(self, key: jax.Array) -> jax.Array:
+        std = jnp.exp(0.5 * jnp.clip(self.logvar, -30.0, 20.0))
+        return self.mean + std * jax.random.normal(key, self.mean.shape, self.mean.dtype)
+
+
+class AutoencoderKL(nn.Module):
+    in_channels: int = 3
+    out_channels: int = 3
+    latent_channels: int = 4
+    block_out_channels: Sequence[int] = (128, 256, 512, 512)
+    layers_per_block: int = 2
+    norm_num_groups: int = 32
+    scaling_factor: float = 0.18215
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.encoder = Encoder(
+            self.block_out_channels, self.layers_per_block, self.latent_channels,
+            self.norm_num_groups, self.dtype,
+        )
+        self.decoder = Decoder(
+            self.block_out_channels, self.layers_per_block, self.out_channels,
+            self.norm_num_groups, self.dtype,
+        )
+        self.quant_conv = nn.Conv(2 * self.latent_channels, (1, 1), dtype=self.dtype,
+                                  name="quant_conv")
+        self.post_quant_conv = nn.Conv(self.latent_channels, (1, 1), dtype=self.dtype,
+                                       name="post_quant_conv")
+
+    def encode(self, x: jax.Array) -> EncoderOutput:
+        h = self.quant_conv(self.encoder(x.astype(self.dtype)))
+        mean, logvar = jnp.split(h, 2, axis=-1)
+        return EncoderOutput(mean=mean, logvar=logvar)
+
+    def decode(self, z: jax.Array) -> jax.Array:
+        return self.decoder(self.post_quant_conv(z.astype(self.dtype)))
+
+    def __call__(self, x: jax.Array, key: jax.Array) -> jax.Array:
+        posterior = self.encode(x)
+        z = posterior.sample(key)
+        return self.decode(z)
+
+
+__all__ = ["AutoencoderKL", "Encoder", "Decoder", "VAEAttention", "EncoderOutput"]

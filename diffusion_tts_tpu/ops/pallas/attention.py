@@ -1,0 +1,91 @@
+"""Fused flash-attention Pallas kernel for UNet self-attention.
+
+Preserves the reference AttentionOp numerics (fp32 scores softmax(q.k /
+sqrt(D)), edm/training/networks.py:113-126) while never materializing the
+[T, T] score matrix in HBM — at SD resolutions (T=4096 latent tokens) the
+unfused fp32 scores are 67MB per (batch, head), which is what makes plain
+XLA attention HBM-bound. Online-softmax accumulation in fp32 VMEM scratch,
+K/V streamed in blocks.
+
+Layout: q, k, v [B, T, H, D] -> kernel runs on [B*H, T, D] with a grid of
+(BH, T/TQ) and the full K/V for one bh resident in VMEM (T*D*4B — 1 MB at
+T=4096, D=64).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -1e30
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, tk: int, scale: float):
+    q = q_ref[0].astype(jnp.float32) * scale  # [TQ, D]
+    t = k_ref.shape[1]
+    tq, d = q.shape
+    num_kb = t // tk
+
+    def body(kb, carry):
+        m, l, acc = carry
+        k = k_ref[0, pl.ds(kb * tk, tk), :].astype(jnp.float32)  # [TK, D]
+        v = v_ref[0, pl.ds(kb * tk, tk), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [TQ, TK]
+        m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        l_new = l * alpha + jnp.sum(p, axis=1, keepdims=True)
+        acc_new = acc * alpha + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return m_new, l_new, acc_new
+
+    m0 = jnp.full((tq, 1), _NEG_INF, jnp.float32)
+    l0 = jnp.zeros((tq, 1), jnp.float32)
+    acc0 = jnp.zeros((tq, d), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, num_kb, body, (m0, l0, acc0))
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("tq", "tk", "interpret"))
+def flash_attention(
+    q: jax.Array, k: jax.Array, v: jax.Array, *, tq: int = 512, tk: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """q, k, v: [B, T, H, D] -> [B, T, H, D], fp32-softmax flash attention."""
+    b, t, h, d = q.shape
+    tq = min(tq, t)
+    tk = min(tk, t)
+    assert t % tq == 0 and t % tk == 0, f"T={t} must tile by {tq}/{tk}"
+    scale = 1.0 / (d**0.5)
+
+    def to_bh(x):
+        return x.transpose(0, 2, 1, 3).reshape(b * h, t, d)
+
+    qf, kf, vf = to_bh(q), to_bh(k), to_bh(v)
+    grid = (b * h, t // tq)
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel, tk=tk, scale=scale),
+        out_shape=jax.ShapeDtypeStruct((b * h, t, d), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tq, d), lambda bh, iq: (bh, iq, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, d), lambda bh, iq: (bh, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, d), lambda bh, iq: (bh, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tq, d), lambda bh, iq: (bh, iq, 0), memory_space=pltpu.VMEM),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * t * t * d, bytes_accessed=3 * b * h * t * d * 4,
+            transcendentals=b * h * t * t,
+        ),
+    )(qf, kf, vf)
+    return out.reshape(b, h, t, d).transpose(0, 2, 1, 3)
+
+
+__all__ = ["flash_attention"]

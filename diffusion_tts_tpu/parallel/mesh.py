@@ -1,0 +1,70 @@
+"""Device-mesh parallelism: the TPU-native replacement for the reference's
+NCCL layer (edm/torch_utils/distributed.py; SURVEY.md §2c).
+
+The reference's collectives — DDP bucket all-reduce, barrier, broadcast,
+all_reduce of training stats — all become shardings on a
+``jax.sharding.Mesh``: annotate the batch axis with the ``data`` axis,
+replicate parameters, and XLA inserts the psum over ICI. No explicit
+barriers exist; program order and ``block_until_ready`` replace them
+(SURVEY.md §5). Multi-host: ``jax.distributed.initialize()`` +
+``jax.process_index()==0`` instead of rank-0 gating.
+
+Mesh axes used across the framework:
+  data       — batch / seed sharding (training DP, rejection restarts)
+  candidate  — search-candidate sharding (the N axis of expansion)
+  model      — reserved for tensor-parallel sharding of the UNet
+"""
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    axes: dict[str, int] | None = None, *, devices: Sequence[Any] | None = None
+) -> Mesh:
+    """Mesh over the given axis sizes; defaults to all devices on 'data'."""
+    devices = list(devices) if devices is not None else jax.devices()
+    if axes is None:
+        axes = {"data": len(devices)}
+    names = tuple(axes)
+    shape = tuple(axes.values())
+    if int(np.prod(shape)) != len(devices):
+        raise ValueError(f"mesh {axes} needs {int(np.prod(shape))} devices, have {len(devices)}")
+    dev_array = np.asarray(devices).reshape(shape)
+    return Mesh(dev_array, names)
+
+
+def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Shard the leading (batch) axis; replicate the rest."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_train_step(step_fn, mesh: Mesh, *, data_axis: str = "data"):
+    """jit a train step with data-parallel shardings: state/params
+    replicated, per-round microbatches sharded on the batch axis, key
+    replicated. The gradient mean over the sharded batch IS the DDP
+    all-reduce (training_loop.py:89,123-132) — inserted by XLA as a psum
+    over ICI."""
+    state_sh = replicated(mesh)
+    batch_sh = NamedSharding(mesh, P(None, data_axis))  # [rounds, batch, ...]
+    key_sh = replicated(mesh)
+    return jax.jit(
+        step_fn,
+        in_shardings=(state_sh, batch_sh, batch_sh, key_sh),
+        out_shardings=(state_sh, state_sh),
+    )
+
+
+def shard_array(x, mesh: Mesh, spec: P):
+    return jax.device_put(x, NamedSharding(mesh, spec))
+
+
+__all__ = ["make_mesh", "batch_sharding", "replicated", "shard_train_step", "shard_array"]

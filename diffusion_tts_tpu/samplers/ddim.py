@@ -106,8 +106,10 @@ class StochasticDDIMSampler:
         rollouts MCTS uses)."""
         tab = self._tab
         i = jnp.asarray(i, jnp.int32)
-        sqrt_a_t = tab["sqrt_a_t"][i]
-        sqrt_1m_a_t = tab["sqrt_1m_a_t"][i]
+        # i may be a scalar or per-element [B]; reshape gathers to broadcast
+        bc = lambda v: v.reshape(v.shape + (1,) * (x.ndim - v.ndim))
+        sqrt_a_t = bc(tab["sqrt_a_t"][i])
+        sqrt_1m_a_t = bc(tab["sqrt_1m_a_t"][i])
         mo = model_output.astype(jnp.float32)
         xf = x.astype(jnp.float32)
         if self.prediction_type == "epsilon":
@@ -121,9 +123,9 @@ class StochasticDDIMSampler:
             pred_eps = sqrt_a_t * mo + sqrt_1m_a_t * xf
         if self.clip_sample:
             pred_x0 = jnp.clip(pred_x0, -1.0, 1.0)
-        prev = tab["sqrt_a_prev"][i] * pred_x0 + tab["dir_coef"][i] * pred_eps
+        prev = bc(tab["sqrt_a_prev"][i]) * pred_x0 + bc(tab["dir_coef"][i]) * pred_eps
         if eps is not None:
-            prev = prev + tab["std"][i] * eps.astype(jnp.float32)
+            prev = prev + bc(tab["std"][i]) * eps.astype(jnp.float32)
         return prev, pred_x0
 
     def step(
