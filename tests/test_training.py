@@ -1,0 +1,170 @@
+"""Training stack tests: losses, train step (accumulation/EMA/ramp),
+augment pipe labels, dataset sampling, full loop on an 8-device mesh."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffusion_tts_tpu.models.preconds import EDMPrecond
+from diffusion_tts_tpu.parallel.mesh import make_mesh, shard_train_step
+from diffusion_tts_tpu.training.augment import AugmentPipe, edm_augment_pipe
+from diffusion_tts_tpu.training.dataset import ImageDataset, InfiniteSampler, batch_iterator
+from diffusion_tts_tpu.training.loss import EDMLoss, VELoss, VPLoss
+from diffusion_tts_tpu.training.train_step import (
+    TrainConfig, TrainState, make_optimizer, make_train_step,
+)
+
+KW = dict(model_channels=16, channel_mult=(1,), num_blocks=1,
+          attn_resolutions=(), dropout=0.0)
+
+
+def make_net(augment_dim=0):
+    kw = dict(KW)
+    if augment_dim:
+        kw["augment_dim"] = augment_dim
+    return EDMPrecond(img_resolution=8, img_channels=3, label_dim=4,
+                      model_type="SongUNet", model_kwargs=kw)
+
+
+def test_losses_shapes_and_weighting():
+    net = make_net()
+    imgs = jax.random.normal(jax.random.key(0), (4, 8, 8, 3)) * 0.5
+    labels = jnp.eye(4)[jnp.array([0, 1, 2, 3])]
+    variables = net.init({"params": jax.random.key(1)}, imgs, jnp.ones((4,)), labels)
+    denoise = lambda x, s, l, al: net.apply(variables, x, s, l, augment_labels=al)
+    for loss_fn in (EDMLoss(), VPLoss(), VELoss()):
+        loss = loss_fn(denoise, imgs, labels, jax.random.key(2))
+        assert loss.shape == imgs.shape
+        assert np.isfinite(np.asarray(loss)).all()
+
+
+def test_train_step_reduces_loss_and_updates_ema():
+    net = make_net()
+    imgs = jax.random.normal(jax.random.key(0), (2, 4, 8, 8, 3)) * 0.5  # [R, micro,...]
+    labels = jnp.tile(jnp.eye(4)[jnp.array([0, 1, 2, 3])], (2, 1, 1))
+    variables = net.init(
+        {"params": jax.random.key(1)}, imgs[0], jnp.ones((4,)), labels[0]
+    )
+    cfg = TrainConfig(lr=1e-3, grad_accum_rounds=2, total_batch=8,
+                      lr_rampup_kimg=0.0, ema_halflife_kimg=0.01)
+    tx = make_optimizer(cfg)
+    state = TrainState.create(variables["params"], tx)
+    denoise_apply = lambda p, x, s, l, al: net.apply({"params": p}, x, s, l, augment_labels=al)
+    step = jax.jit(make_train_step(EDMLoss(), denoise_apply, cfg, tx))
+
+    # fixed key: identical noise/sigma draws per step, so the loss on this
+    # one batch must decrease monotonically under Adam
+    losses = []
+    for i in range(8):
+        state, metrics = step(state, imgs, labels, jax.random.key(7))
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0], f"loss did not go down: {losses}"
+    assert int(state.nimg) == 8 * 8
+    # EMA must move but differ from params
+    d = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), state.params, state.ema_params
+    )
+    assert max(jax.tree_util.tree_leaves(d)) > 0
+
+
+def test_sharded_train_step_8_devices():
+    mesh = make_mesh({"data": 8})
+    net = make_net()
+    imgs = jax.random.normal(jax.random.key(0), (1, 8, 8, 8, 3)) * 0.5
+    labels = jnp.tile(jnp.eye(4)[jnp.arange(4) % 4], (2, 1)).reshape(1, 8, 4)
+    variables = net.init({"params": jax.random.key(1)}, imgs[0], jnp.ones((8,)), labels[0])
+    cfg = TrainConfig(grad_accum_rounds=1, total_batch=8)
+    tx = make_optimizer(cfg)
+    state = TrainState.create(variables["params"], tx)
+    denoise_apply = lambda p, x, s, l, al: net.apply({"params": p}, x, s, l, augment_labels=al)
+    step = shard_train_step(make_train_step(EDMLoss(), denoise_apply, cfg, tx), mesh)
+    state2, metrics = step(state, imgs, labels, jax.random.key(2))
+    assert np.isfinite(float(metrics["loss"]))
+    # sharded result matches unsharded within fp tolerance
+    step_ref = jax.jit(make_train_step(EDMLoss(), denoise_apply, cfg, tx))
+    state3, metrics_ref = step_ref(state, imgs, labels, jax.random.key(2))
+    np.testing.assert_allclose(
+        float(metrics["loss"]), float(metrics_ref["loss"]), rtol=1e-5
+    )
+
+
+def test_augment_pipe_edm_config():
+    pipe = edm_augment_pipe(p=0.5)
+    assert pipe.label_dim == 9
+    imgs = jax.random.uniform(jax.random.key(0), (8, 16, 16, 3)) * 2 - 1
+    out, labels = pipe(imgs, jax.random.key(1))
+    assert out.shape == imgs.shape and labels.shape == (8, 9)
+    assert np.isfinite(np.asarray(out)).all()
+    # p=0: all labels zero, images unchanged
+    pipe0 = edm_augment_pipe(p=0.0)
+    out0, labels0 = pipe0(imgs, jax.random.key(1))
+    # xflip has multiplier 1e8 so it fires regardless of p -> exclude col 0
+    assert np.abs(np.asarray(labels0[:, 1:])).max() == 0
+    # full color config exercises the remaining ops
+    pipe_full = AugmentPipe(p=1.0, brightness=1, contrast=1, lumaflip=1, hue=1, saturation=1)
+    out_c, labels_c = pipe_full(imgs, jax.random.key(2))
+    assert labels_c.shape == (8, 6) and np.isfinite(np.asarray(out_c)).all()
+
+
+def test_augment_trains_with_labels():
+    """augment labels flow into the loss via the precond's augment path."""
+    pipe = edm_augment_pipe(p=0.5)
+    net = make_net(augment_dim=9)
+    imgs = jax.random.normal(jax.random.key(0), (4, 8, 8, 3)) * 0.5
+    labels = jnp.eye(4)[jnp.arange(4)]
+    variables = net.init(
+        {"params": jax.random.key(1)}, imgs, jnp.ones((4,)), labels,
+        jnp.zeros((4, 9)),
+    )
+    denoise = lambda x, s, l, al: net.apply(variables, x, s, l, augment_labels=al)
+    loss = EDMLoss()(denoise, imgs, labels, jax.random.key(2), augment_fn=pipe)
+    assert np.isfinite(np.asarray(loss)).all()
+
+
+def test_dataset_and_sampler():
+    rng = np.random.default_rng(0)
+    images = rng.integers(0, 255, (10, 8, 8, 3), dtype=np.uint8)
+    labels = rng.integers(0, 4, (10,))
+    ds = ImageDataset(images=images, labels=labels, xflip=True, max_size=8)
+    assert len(ds) == 16  # 8 after max_size, doubled by xflip
+    assert ds.label_dim == 4
+    img0, lab0 = ds[0]
+    img_flip, _ = ds[8]
+    np.testing.assert_array_equal(img_flip, ds[0][0][:, ::-1, :])
+    assert lab0.shape == (4,) and lab0.sum() == 1.0
+
+    # shards partition the stream
+    it0 = iter(InfiniteSampler(10, shard=0, num_shards=2, seed=1))
+    it1 = iter(InfiniteSampler(10, shard=1, num_shards=2, seed=1))
+    a = [next(it0) for _ in range(20)]
+    b = [next(it1) for _ in range(20)]
+    assert all(0 <= i < 10 for i in a + b)
+
+    batch = next(batch_iterator(ds, 4))
+    assert batch[0].shape == (4, 8, 8, 3) and batch[0].min() >= -1 and batch[0].max() <= 1
+
+
+def test_training_loop_smoke(tmp_path):
+    from diffusion_tts_tpu.training.loop import LoopConfig, training_loop
+    from diffusion_tts_tpu.training.dataset import batch_iterator
+
+    rng = np.random.default_rng(0)
+    images = rng.integers(0, 255, (16, 8, 8, 3), dtype=np.uint8)
+    labels = rng.integers(0, 4, (16,))
+    ds = ImageDataset(images=images, labels=labels)
+    net = make_net()
+    state = training_loop(
+        net=net, net_config={"img_resolution": 8},
+        data_iter=batch_iterator(ds, 16),
+        loss_fn=EDMLoss(),
+        train_cfg=TrainConfig(lr=1e-3, grad_accum_rounds=2, total_batch=16),
+        loop_cfg=LoopConfig(run_dir=str(tmp_path), total_kimg=1, kimg_per_tick=1,
+                            snapshot_ticks=1, state_dump_ticks=0),
+        mesh=make_mesh({"data": 8}),
+        max_ticks=1,
+    )
+    assert int(state.nimg) > 0
+    assert os.path.exists(os.path.join(str(tmp_path), "stats.jsonl"))
+    assert os.path.exists(os.path.join(str(tmp_path), "network-snapshot-final.config.json"))
