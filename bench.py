@@ -61,9 +61,15 @@ def main():
     x = jnp.zeros((batch, res, res, 3), jnp.float32)
     sigma = jnp.full((batch,), 10.0, jnp.float32)
     labels = jnp.eye(label_dim, dtype=jnp.float32)[jnp.arange(batch) % label_dim]
+    # Host-side weight synthesis: per-param jax.random calls would trigger
+    # one (remote) compile each — hundreds of compiles for the full model.
+    import numpy as np
+
+    rng = np.random.default_rng(1)
     variables = jax.tree_util.tree_map(
-        lambda s: (jax.random.normal(jax.random.key(1), s.shape, jnp.float32) * 0.05
-                   ).astype(s.dtype),
+        lambda s: jax.device_put(
+            (rng.standard_normal(s.shape, dtype=np.float32) * 0.05).astype(s.dtype)
+        ),
         jax.eval_shape(lambda: net.init({"params": jax.random.key(0)}, x, sigma, labels)),
     )
 

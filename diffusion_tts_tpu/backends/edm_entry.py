@@ -1,0 +1,149 @@
+"""EDM backend entry point: load a network, run noise-trajectory search,
+save the image grid.
+
+Counterpart of the reference's generate_image_grid (edm/main.py:47-886):
+the unified CLI calls this with the ImageNet-64 ADM config (main.py:
+197-213: 18 steps, S_churn=40, S_min=0.05, S_max=50, S_noise=1.003).
+Loading is zero-egress: an exported torch state dict (.npz, via
+tools/export_edm_checkpoint.py), an orbax snapshot from our trainer, or
+random init for smoke runs.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffusion_tts_tpu.models.preconds import EDMPrecond, VEPrecond, VPPrecond, iDDPMPrecond
+from diffusion_tts_tpu.models.torch_import import convert_state_dict, state_dict_from_npz
+from diffusion_tts_tpu.samplers.edm import EDMHeunSampler
+from diffusion_tts_tpu.search.api import run_search
+from diffusion_tts_tpu.search.backend import EDMSearchBackend
+from diffusion_tts_tpu.utils.config import SearchParams
+
+PRECONDS = {"edm": EDMPrecond, "vp": VPPrecond, "ve": VEPrecond, "iddpm": iDDPMPrecond}
+
+IMAGENET64_ADM = dict(
+    img_resolution=64, img_channels=3, label_dim=1000, model_type="DhariwalUNet",
+    model_kwargs=dict(model_channels=192, channel_mult=(1, 2, 3, 4), num_blocks=3,
+                      attn_resolutions=(32, 16, 8), dropout=0.0),
+)
+CIFAR10_DDPMPP = dict(
+    img_resolution=32, img_channels=3, label_dim=10, model_type="SongUNet",
+    model_kwargs=dict(model_channels=128, channel_mult=(2, 2, 2), num_blocks=4,
+                      attn_resolutions=(16,), dropout=0.0, embedding_type="positional",
+                      encoder_type="standard", decoder_type="standard",
+                      resample_filter=(1, 1), channel_mult_noise=1),
+)
+TINY_SMOKE = dict(
+    img_resolution=16, img_channels=3, label_dim=10, model_type="SongUNet",
+    model_kwargs=dict(model_channels=16, channel_mult=(1, 2), num_blocks=1,
+                      attn_resolutions=(8,), dropout=0.0),
+)
+NET_CONFIGS = {
+    "imagenet64": IMAGENET64_ADM, "cifar10": CIFAR10_DDPMPP, "tiny": TINY_SMOKE,
+}
+
+
+def load_network(
+    arch: str = "imagenet64", weights: str | None = None, precond: str = "edm",
+    dtype=jnp.float32,
+):
+    """Returns (net module, variables). weights: .npz torch export or None
+    (random init)."""
+    cfg = dict(NET_CONFIGS[arch])
+    net = PRECONDS[precond](dtype=dtype, **cfg)
+    res, ch, ld = cfg["img_resolution"], cfg["img_channels"], cfg["label_dim"]
+    dummy_lab = jnp.zeros((1, ld)) if ld else None
+    variables = net.init(
+        {"params": jax.random.key(0)}, jnp.zeros((1, res, res, ch)),
+        jnp.ones((1,)), dummy_lab,
+    )
+    if weights is not None:
+        state = state_dict_from_npz(weights)
+        converted = convert_state_dict(state)
+        ref = {jax.tree_util.keystr(p) for p, _ in
+               jax.tree_util.tree_leaves_with_path(variables["params"])}
+        got = {jax.tree_util.keystr(p) for p, _ in
+               jax.tree_util.tree_leaves_with_path(converted["params"])}
+        if ref != got:
+            raise ValueError(
+                f"checkpoint/model mismatch; missing={sorted(ref - got)[:4]} "
+                f"extra={sorted(got - ref)[:4]}"
+            )
+        variables = converted
+    return net, variables
+
+
+def generate_image_grid(
+    *,
+    arch: str = "imagenet64",
+    weights: str | None = None,
+    dest_path: str | None = None,
+    scorer: Any,
+    scorer_needs_labels: bool = False,
+    method: str = "eps_greedy",
+    params: SearchParams | None = None,
+    seed: int = 0,
+    gridw: int = 1,
+    gridh: int = 1,
+    num_steps: int = 18,
+    sigma_min: float = 0.002,
+    sigma_max: float = 80.0,
+    rho: float = 7.0,
+    S_churn: float = 40.0,
+    S_min: float = 0.05,
+    S_max: float = 50.0,
+    S_noise: float = 1.003,
+    class_idx: int | None = None,
+    dtype=jnp.float32,
+    record_noises: bool = False,
+):
+    """Run search and (optionally) save a gridh x gridw PNG. Returns
+    (images01 [B,H,W,C], scores [B], best_noises)."""
+    net, variables = load_network(arch, weights, dtype=dtype)
+    cfg = NET_CONFIGS[arch]
+    res, ch, label_dim = cfg["img_resolution"], cfg["img_channels"], cfg["label_dim"]
+    n_img = gridw * gridh
+
+    key = jax.random.key(seed)
+    if label_dim:
+        if class_idx is None:
+            cls = jax.random.randint(jax.random.fold_in(key, 1), (n_img,), 0, label_dim)
+        else:
+            cls = jnp.full((n_img,), class_idx, jnp.int32)
+        labels = jnp.eye(label_dim, dtype=jnp.float32)[cls]
+    else:
+        labels = None
+
+    denoise = lambda x, s: net.apply(
+        variables, x, s,
+        jnp.tile(labels, (x.shape[0] // n_img, 1)) if labels is not None else None,
+    )
+    sampler = EDMHeunSampler(
+        denoise=denoise, num_steps=num_steps, sigma_min=sigma_min,
+        sigma_max=sigma_max, rho=rho, S_churn=S_churn, S_min=S_min, S_max=S_max,
+        S_noise=S_noise,
+    )
+    backend = EDMSearchBackend(sampler=sampler, scorer=scorer,
+                               scorer_cond=labels if scorer_needs_labels else None)
+    z = jax.random.normal(jax.random.fold_in(key, 0), (n_img, res, res, ch))
+    result = run_search(method, backend, z, key, params or SearchParams(),
+                        record_noises=record_noises)
+    print(f"Average score: {float(result.score.mean())}")
+
+    if dest_path:
+        img = np.asarray(result.images * 255.0).astype(np.uint8)
+        grid = img.reshape(gridh, gridw, res, res, ch)
+        grid = grid.transpose(0, 2, 1, 3, 4).reshape(gridh * res, gridw * res, ch)
+        from PIL import Image
+
+        Image.fromarray(grid.squeeze(), "RGB" if ch == 3 else "L").save(dest_path)
+        print(f'Saved image grid to "{dest_path}"')
+    return result
+
+
+__all__ = ["generate_image_grid", "load_network", "NET_CONFIGS"]

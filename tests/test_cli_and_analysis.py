@@ -1,0 +1,83 @@
+"""CLI, seed-sharded generation, and dmap analysis tests."""
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ENV = dict(
+    os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="",
+    XLA_FLAGS="--xla_force_host_platform_device_count=8",
+)
+
+
+def run_cli(*argv, timeout=600):
+    return subprocess.run(
+        [sys.executable, *argv], cwd=REPO, env=ENV, capture_output=True,
+        text=True, timeout=timeout,
+    )
+
+
+@pytest.mark.slow
+def test_main_edm_tiny_eps_greedy(tmp_path):
+    out = str(tmp_path / "img.png")
+    r = run_cli(
+        "main.py", "--backend", "edm", "--scorer", "brightness",
+        "--method", "eps_greedy", "--arch", "tiny", "--N", "2", "--K", "2",
+        "--num-steps", "4", "--output", out,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert os.path.exists(out)
+    assert "Average score:" in r.stdout
+
+
+@pytest.mark.slow
+def test_main_validation_errors():
+    r = run_cli("main.py", "--backend", "sd", "--scorer", "imagenet")
+    assert r.returncode != 0
+    assert "imagenet scorer is only available for edm" in (r.stderr + r.stdout)
+    r = run_cli("main.py", "--backend", "edm", "--scorer", "clip")
+    assert r.returncode != 0
+    assert "clip scorer is only available for sd" in (r.stderr + r.stdout)
+
+
+@pytest.mark.slow
+def test_generate_seed_sharded(tmp_path):
+    outdir = str(tmp_path / "gen")
+    r = run_cli(
+        "tools/generate.py", "--seeds", "0-8", "--outdir", outdir,
+        "--arch", "tiny", "--steps", "3",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    files = sorted(os.listdir(outdir))
+    assert len(files) == 9
+    # per-seed determinism independent of batching: regenerate seed 5 alone
+    outdir2 = str(tmp_path / "gen2")
+    r = run_cli(
+        "tools/generate.py", "--seeds", "5", "--outdir", outdir2,
+        "--arch", "tiny", "--steps", "3",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    from PIL import Image
+
+    a = np.asarray(Image.open(os.path.join(outdir, "000005.png")))
+    b = np.asarray(Image.open(os.path.join(outdir2, "000005.png")))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_dmap_analysis(tmp_path):
+    from diffusion_tts_tpu.analysis import dmap
+
+    rng = np.random.default_rng(0)
+    noises = rng.normal(size=(4, 3, 2, 8, 8, 3)).astype(np.float32)
+    path = str(tmp_path / "noises.npz")
+    dmap.save_noise_trajectories(path, noises, t_steps=np.linspace(80, 0, 5))
+    norms = dmap.noise_norms(noises)
+    assert norms.shape == (4, 6)
+    emb = dmap.diffusion_map(noises.reshape(24, -1), n_components=2)
+    assert emb.shape == (24, 2) and np.isfinite(emb).all()
+    written = dmap.create_visualizations(path, str(tmp_path / "viz"))
+    assert any(w.endswith("noise_norms.npy") for w in written)
+    assert any(w.endswith("diffusion_map.npy") for w in written)
