@@ -52,8 +52,10 @@ def main():
     from diffusion_tts_tpu.scorers import BrightnessScorer
     from diffusion_tts_tpu.samplers.edm import EDMHeunSampler
     from diffusion_tts_tpu.search.backend import EDMSearchBackend
+    from diffusion_tts_tpu.utils.cache import enable_compilation_cache
     import __graft_entry__ as ge
 
+    enable_compilation_cache()
     on_tpu = jax.default_backend() != "cpu"
     net, res, label_dim = ge._flagship(tiny=not on_tpu)
     batch, n_cand = (1, 4) if on_tpu else (1, 2)
@@ -73,39 +75,61 @@ def main():
         jax.eval_shape(lambda: net.init({"params": jax.random.key(0)}, x, sigma, labels)),
     )
 
-    denoise = lambda xx, ss: net.apply(variables, xx, ss, jnp.tile(labels, (xx.shape[0] // batch, 1)))
-    sampler = EDMHeunSampler(
-        denoise=denoise, num_steps=18, sigma_min=0.002, sigma_max=80.0,
-        S_churn=40.0, S_min=0.05, S_max=50.0, S_noise=1.003,
-    )
-    backend = EDMSearchBackend(sampler=sampler, scorer=BrightnessScorer())
+    def make_backend(v):
+        denoise = lambda xx, ss: net.apply(
+            v, xx, ss, jnp.tile(labels, (xx.shape[0] // batch, 1))
+        )
+        sampler = EDMHeunSampler(
+            denoise=denoise, num_steps=18, sigma_min=0.002, sigma_max=80.0,
+            S_churn=40.0, S_min=0.05, S_max=50.0, S_noise=1.003,
+        )
+        return EDMSearchBackend(sampler=sampler, scorer=BrightnessScorer())
 
-    # One eps-greedy inner iteration: expand N candidates (Heun pair = 2 NFE
-    # each) + score + argmax — the hot loop of the search engine.
+    # The eps-greedy inner iteration — expand N candidates (Heun pair =
+    # 2 NFE each) + score + argmax — is the hot loop of the search engine.
+    # Params are a jit ARGUMENT (closing over them would bake 296M floats
+    # into the HLO and blow up the remote compile), and `iters` iterations
+    # run inside ONE compiled lax.scan so per-dispatch tunnel latency
+    # cannot pollute the timing.
+    iters = 20 if on_tpu else 3
+
     @jax.jit
-    def inner(x_cur, eps):
-        _, images = backend.expand(x_cur, jnp.asarray(3), None, eps)
-        scores = backend.score(images).reshape(n_cand, batch)
-        best = jnp.argmax(scores, axis=0)
-        return jnp.take_along_axis(
-            eps, best.reshape((1, batch, 1, 1, 1)), axis=0
-        )[0]
+    def run_iters(v, x_cur, eps):
+        backend = make_backend(v)
 
-    x_cur = backend.init_latents(jax.random.normal(jax.random.key(2), x.shape))
+        def body(pivot, k):
+            cands = eps + 0.01 * pivot[None] * k  # vary candidates per iter
+            _, images = backend.expand(x_cur, 3, None, cands)
+            scores = backend.score(images).reshape(n_cand, batch)
+            best = jnp.argmax(scores, axis=0)
+            new_pivot = jnp.take_along_axis(
+                cands, best.reshape((1, batch, 1, 1, 1)), axis=0
+            )[0]
+            return new_pivot, None
+
+        pivot, _ = jax.lax.scan(
+            body, jnp.zeros_like(x_cur), jnp.arange(iters, dtype=jnp.float32)
+        )
+        return pivot
+
+    x_cur = make_backend(variables).init_latents(
+        jax.random.normal(jax.random.key(2), x.shape)
+    )
     eps = jax.random.normal(jax.random.key(3), (n_cand, batch, res, res, 3))
-    inner(x_cur, eps).block_until_ready()  # compile
+    run_iters(variables, x_cur, eps).block_until_ready()  # compile
 
     # model FLOPs per single forward, from XLA's own cost analysis
     fwd = jax.jit(lambda v, xx, ss: net.apply(v, xx, ss, labels))
     cost = fwd.lower(variables, x, sigma).compile().cost_analysis()
     flops_per_fwd = float(cost["flops"]) / batch if cost and "flops" in cost else 0.0
 
-    iters = 20 if on_tpu else 3
+    reps = 3 if on_tpu else 1
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = inner(x_cur, eps)
+    for _ in range(reps):
+        out = run_iters(variables, x_cur, eps)
     out.block_until_ready()
     dt = time.perf_counter() - t0
+    iters = iters * reps
 
     nfe = iters * n_cand * batch * 2  # Heun pair per candidate
     nfe_per_s = nfe / dt

@@ -28,6 +28,7 @@ def save_snapshot(path: str, ema_params: Any, config: dict) -> None:
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     ckpt = _mgr(path)
     ckpt.save(path, ema_params, force=True)
+    ckpt.wait_until_finished()  # async save must not race interpreter exit
     with open(path + ".config.json", "w") as f:
         json.dump(config, f, indent=2)
 
@@ -46,7 +47,9 @@ def save_state(path: str, state: Any) -> None:
     training_loop.py:191-193)."""
     path = os.path.abspath(path)
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    _mgr(path).save(path, state, force=True)
+    ckpt = _mgr(path)
+    ckpt.save(path, state, force=True)
+    ckpt.wait_until_finished()
 
 
 def load_state(path: str, like: Any) -> Any:

@@ -68,13 +68,20 @@ def training_loop(
     micro = images0.shape[0] // rounds
     init_imgs = jnp.asarray(images0[:micro])
     init_labels = jnp.asarray(labels0[:micro])
+    init_aug = None
+    if augment_fn is not None and getattr(augment_fn, "label_dim", 0):
+        init_aug = jnp.zeros((micro, augment_fn.label_dim), jnp.float32)
     variables = net.init(
-        {"params": jax.random.key(0)}, init_imgs, jnp.ones((micro,)), init_labels
+        {"params": jax.random.key(0)}, init_imgs, jnp.ones((micro,)), init_labels,
+        init_aug,
     )
 
-    def denoise_apply(params, x, sigma, labels, augment_labels):
+    def denoise_apply(params, x, sigma, labels, augment_labels, rng=None):
+        rngs = None
+        if rng is not None:
+            rngs = {"dropout": rng, "label_dropout": jax.random.fold_in(rng, 1)}
         return net.apply({"params": params}, x, sigma, labels,
-                         augment_labels=augment_labels, train=True)
+                         augment_labels=augment_labels, train=True, rngs=rngs)
 
     tx = make_optimizer(train_cfg)
     state = TrainState.create(variables["params"], tx)

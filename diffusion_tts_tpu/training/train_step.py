@@ -57,7 +57,7 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
 
 def make_train_step(
     loss_fn: Callable,  # loss_fn(denoise, images, labels, key, augment_fn)
-    denoise_apply: Callable,  # (params, x, sigma, labels, augment_labels) -> D_x
+    denoise_apply: Callable,  # (params, x, sigma, labels, augment_labels, rng=None) -> D_x
     cfg: TrainConfig,
     tx: optax.GradientTransformation,
     augment_fn: Callable | None = None,
@@ -66,8 +66,9 @@ def make_train_step(
     key) -> (state, metrics). R = grad accumulation rounds."""
 
     def microbatch_loss(params, images, labels, key):
-        denoise = lambda x, s, l, al: denoise_apply(params, x, s, l, al)
-        loss = loss_fn(denoise, images, labels, key, augment_fn)
+        k_loss, k_drop = jax.random.split(key)
+        denoise = lambda x, s, l, al: denoise_apply(params, x, s, l, al, rng=k_drop)
+        loss = loss_fn(denoise, images, labels, k_loss, augment_fn)
         return jnp.mean(loss)
 
     grad_fn = jax.value_and_grad(microbatch_loss)

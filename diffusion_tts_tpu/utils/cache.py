@@ -1,0 +1,27 @@
+"""Persistent XLA compilation cache.
+
+The axon TPU backend remote-compiles; large UNet graphs take 30-200s per
+(shape, program) the first time. The persistent cache brings repeat
+compiles down to seconds across processes. Call enable_compilation_cache()
+before the first jit execution (bench.py, main.py, train.py, and the
+driver entry points all do).
+"""
+from __future__ import annotations
+
+import os
+
+import jax
+
+DEFAULT_CACHE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))), ".jax_cache")
+
+
+def enable_compilation_cache(cache_dir: str | None = None) -> str:
+    cache_dir = cache_dir or os.environ.get("DTTS_JAX_CACHE", DEFAULT_CACHE_DIR)
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    return cache_dir
+
+
+__all__ = ["enable_compilation_cache"]

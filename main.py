@@ -89,6 +89,9 @@ def main(argv=None):
     if args.backend == "edm" and args.scorer == "clip":
         raise ValueError("clip scorer is only available for sd backend")
 
+    from diffusion_tts_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     from diffusion_tts_tpu.utils.config import SearchParams
 
     params = SearchParams(N=args.N, K=args.K, B=args.B, S=args.S,

@@ -1,0 +1,124 @@
+"""train.py CLI, dataset_tool, and misc-utility tests."""
+import json
+import os
+import subprocess
+import sys
+import zipfile
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ENV = dict(
+    os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="",
+    XLA_FLAGS="--xla_force_host_platform_device_count=8",
+)
+
+
+def run_cli(*argv, timeout=600):
+    return subprocess.run([sys.executable, *argv], cwd=REPO, env=ENV,
+                          capture_output=True, text=True, timeout=timeout)
+
+
+def _make_dataset_zip(path, n=16, res=8, labels=True):
+    from PIL import Image
+    import io
+
+    rng = np.random.default_rng(0)
+    labs = []
+    with zipfile.ZipFile(path, "w") as zf:
+        for i in range(n):
+            img = rng.integers(0, 255, (res, res, 3), dtype=np.uint8)
+            buf = io.BytesIO()
+            Image.fromarray(img).save(buf, format="PNG")
+            name = f"img{i:08d}.png"
+            zf.writestr(name, buf.getvalue())
+            labs.append([name, int(rng.integers(0, 4))])
+        if labels:
+            zf.writestr("dataset.json", json.dumps({"labels": labs}))
+
+
+@pytest.mark.slow
+def test_train_cli_smoke(tmp_path):
+    data = str(tmp_path / "data.zip")
+    _make_dataset_zip(data)
+    outdir = str(tmp_path / "runs")
+    r = run_cli(
+        "train.py", "--outdir", outdir, "--data", data, "--cond", "1",
+        "--arch", "ddpmpp", "--precond", "edm", "--batch", "16",
+        "--batch-gpu", "8", "--cbase", "16", "--cres", "1,2",
+        "--duration", "0.001", "--tick", "1", "--snap", "1",
+        "--augment", "0.5", "--seed", "0", "--max-ticks", "1",
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    runs = os.listdir(outdir)
+    assert len(runs) == 1
+    run_dir = os.path.join(outdir, runs[0])
+    assert os.path.exists(os.path.join(run_dir, "training_options.json"))
+    assert os.path.exists(os.path.join(run_dir, "stats.jsonl"))
+    assert os.path.exists(os.path.join(run_dir, "log.txt"))
+    stats = [json.loads(l) for l in open(os.path.join(run_dir, "stats.jsonl"))]
+    assert "Loss/loss" in stats[0]
+
+
+@pytest.mark.slow
+def test_train_cli_dry_run(tmp_path):
+    data = str(tmp_path / "data.zip")
+    _make_dataset_zip(data)
+    r = run_cli("train.py", "--outdir", str(tmp_path), "--data", data, "-n",
+                "--cbase", "16", "--cres", "1")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "--dry-run: exiting" in r.stdout
+
+
+def test_dataset_tool_roundtrip(tmp_path):
+    import dataset_tool
+
+    src = str(tmp_path / "src")
+    os.makedirs(os.path.join(src, "cats"))
+    os.makedirs(os.path.join(src, "dogs"))
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    for d in ("cats", "dogs"):
+        for i in range(3):
+            Image.fromarray(rng.integers(0, 255, (12, 12, 3), dtype=np.uint8)).save(
+                os.path.join(src, d, f"{i}.png")
+            )
+    dest = str(tmp_path / "out.zip")
+    n = dataset_tool.convert(src, dest, resolution="8x8")
+    assert n == 6
+    from diffusion_tts_tpu.training.dataset import ImageDataset
+
+    ds = ImageDataset(path=dest)
+    assert len(ds) == 6 and ds.image_shape == (8, 8, 3) and ds.label_dim == 2
+
+
+def test_misc_utils(capsys):
+    import jax.numpy as jnp
+
+    from diffusion_tts_tpu.utils import misc
+
+    misc.assert_shape(jnp.zeros((2, 3)), (2, None))
+    with pytest.raises(AssertionError):
+        misc.assert_shape(jnp.zeros((2, 3)), (3, None))
+
+    tree = {"a": {"kernel": jnp.zeros((2, 3))}, "b": {"bias": jnp.zeros((3,))}}
+    total = misc.print_module_summary(tree)
+    assert total == 9
+    assert "Total" in capsys.readouterr().out
+
+    dst = {"a": {"kernel": jnp.ones((2, 3))}, "b": {"bias": jnp.ones((3,))}}
+    out = misc.copy_params_and_buffers({"a": {"kernel": jnp.zeros((2, 3))}}, dst)
+    assert float(out["a"]["kernel"].sum()) == 0 and float(out["b"]["bias"].sum()) == 3
+    with pytest.raises(KeyError):
+        misc.copy_params_and_buffers({"a": {}}, dst, require_all=True)
+
+    @misc.profiled_function
+    def f(x):
+        return x + 1
+
+    assert int(f(jnp.asarray(1))) == 2
+
+    with pytest.raises(FileNotFoundError):
+        misc.open_file_or_url("https://example.com/nope.pkl")

@@ -51,7 +51,7 @@ def test_train_step_reduces_loss_and_updates_ema():
                       lr_rampup_kimg=0.0, ema_halflife_kimg=0.01)
     tx = make_optimizer(cfg)
     state = TrainState.create(variables["params"], tx)
-    denoise_apply = lambda p, x, s, l, al: net.apply({"params": p}, x, s, l, augment_labels=al)
+    denoise_apply = lambda p, x, s, l, al, rng=None: net.apply({"params": p}, x, s, l, augment_labels=al)
     step = jax.jit(make_train_step(EDMLoss(), denoise_apply, cfg, tx))
 
     # fixed key: identical noise/sigma draws per step, so the loss on this
@@ -78,7 +78,7 @@ def test_sharded_train_step_8_devices():
     cfg = TrainConfig(grad_accum_rounds=1, total_batch=8)
     tx = make_optimizer(cfg)
     state = TrainState.create(variables["params"], tx)
-    denoise_apply = lambda p, x, s, l, al: net.apply({"params": p}, x, s, l, augment_labels=al)
+    denoise_apply = lambda p, x, s, l, al, rng=None: net.apply({"params": p}, x, s, l, augment_labels=al)
     step = shard_train_step(make_train_step(EDMLoss(), denoise_apply, cfg, tx), mesh)
     state2, metrics = step(state, imgs, labels, jax.random.key(2))
     assert np.isfinite(float(metrics["loss"]))

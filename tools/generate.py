@@ -56,6 +56,9 @@ def main(argv=None):
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from diffusion_tts_tpu.backends.edm_entry import NET_CONFIGS, load_network
+    from diffusion_tts_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     from diffusion_tts_tpu.parallel.mesh import make_mesh
     from diffusion_tts_tpu.samplers.edm import EDMHeunSampler
     from diffusion_tts_tpu.utils.rng import per_seed_keys
