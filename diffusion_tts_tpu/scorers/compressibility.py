@@ -97,6 +97,15 @@ def jpeg_proxy_bits(images01: jax.Array, quality: int = 80) -> jax.Array:
 
 
 def _host_jpeg_sizes(images_uint8: np.ndarray, quality: int) -> np.ndarray:
+    """Exact JPEG sizes. Preferred path: the native libjpeg batch encoder
+    (native/jpeg_scorer.cpp — bit-identical to PIL, threaded); PIL fallback."""
+    try:
+        from diffusion_tts_tpu.scorers.native import jpeg_sizes, native_available
+
+        if native_available():
+            return jpeg_sizes(images_uint8, quality).astype(np.float32)
+    except Exception:
+        pass
     from PIL import Image
 
     sizes = np.zeros(images_uint8.shape[0], np.float32)
