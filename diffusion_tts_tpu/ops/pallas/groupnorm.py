@@ -1,0 +1,120 @@
+"""Fused GroupNorm(+SiLU) Pallas kernel.
+
+GroupNorm is HBM-bandwidth-bound: unfused XLA does one pass for statistics
+and one for normalization, plus a separate SiLU. This kernel fuses
+stats + normalize + affine + SiLU with fp32 statistics regardless of
+activation dtype (the reference GroupNorm's semantics,
+edm/training/networks.py:96-106).
+
+Statistics cross the whole spatial extent, and Mosaic forbids splitting the
+lane (channel) dimension, so the kernel runs a two-phase grid per batch
+element — (batch, phase, h-blocks) with fp32 accumulators in VMEM scratch
+persisting across the sequential grid:
+
+  phase 0: accumulate per-channel column sums / sum-of-squares,
+  phase 1: fold channels into groups via a [C, G] one-hot matmul (MXU),
+           broadcast back per-channel, normalize + affine (+ SiLU).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _gn_kernel(x_ref, scale_ref, bias_ref, o_ref, colsum, colsumsq, stats,
+               *, cg: int, eps: float, apply_silu: bool, total_hw: int):
+    ph = pl.program_id(1)
+    hb = pl.program_id(2)
+    x = x_ref[0].astype(jnp.float32)  # [HB, W, C]
+    hbs, w, c = x.shape
+    x2d = x.reshape(hbs * w, c)
+
+    @pl.when((ph == 0) & (hb == 0))
+    def _init():
+        colsum[:] = jnp.zeros_like(colsum)
+        colsumsq[:] = jnp.zeros_like(colsumsq)
+
+    @pl.when(ph == 0)
+    def _accumulate():
+        colsum[:] = colsum[:] + jnp.sum(x2d, axis=0, keepdims=True)
+        colsumsq[:] = colsumsq[:] + jnp.sum(x2d * x2d, axis=0, keepdims=True)
+
+    @pl.when((ph == 1) & (hb == 0))
+    def _finalize_stats():
+        gb = c // cg
+        ch_ids = jax.lax.broadcasted_iota(jnp.int32, (c, gb), 0)
+        g_ids = jax.lax.broadcasted_iota(jnp.int32, (c, gb), 1)
+        onehot = (ch_ids // cg == g_ids).astype(jnp.float32)  # [C, G]
+        dot = lambda a, b: jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        denom = float(total_hw * cg)
+        mean_g = dot(colsum[:], onehot) / denom  # [1, G]
+        var_g = dot(colsumsq[:], onehot) / denom - mean_g * mean_g
+        stats[0:1, :] = dot(mean_g, onehot.T)  # mean per channel
+        stats[1:2, :] = dot(jax.lax.rsqrt(var_g + eps), onehot.T)
+
+    @pl.when(ph == 1)
+    def _normalize():
+        out = (x2d - stats[0:1, :]) * stats[1:2, :]
+        out = out * scale_ref[:].astype(jnp.float32) + bias_ref[:].astype(jnp.float32)
+        if apply_silu:
+            out = out * jax.nn.sigmoid(out)
+        o_ref[0] = out.reshape(hbs, w, c).astype(o_ref.dtype)
+
+
+def _pick_hblock(h: int, w: int, c: int, budget: int = 4 * 2**20) -> int:
+    per_row = w * c * 4 * 3
+    hb = max(1, min(h, budget // max(per_row, 1)))
+    while h % hb:
+        hb -= 1
+    return hb
+
+
+@functools.partial(jax.jit, static_argnames=("groups", "eps", "apply_silu", "interpret"))
+def group_norm_silu(
+    x: jax.Array, scale: jax.Array, bias: jax.Array, *, groups: int,
+    eps: float = 1e-5, apply_silu: bool = True, interpret: bool = False,
+) -> jax.Array:
+    """x [B,H,W,C] NHWC; scale/bias [C]. Returns GN(x)*scale+bias (+SiLU)."""
+    b, h, w, c = x.shape
+    assert c % groups == 0
+    cg = c // groups
+    hb = _pick_hblock(h, w, c)
+    return pl.pallas_call(
+        functools.partial(
+            _gn_kernel, cg=cg, eps=eps, apply_silu=apply_silu, total_hw=h * w
+        ),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        grid=(b, 2, h // hb),
+        in_specs=[
+            pl.BlockSpec((1, hb, w, c), lambda i, p, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c,), lambda i, p, j: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c,), lambda i, p, j: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, hb, w, c), lambda i, p, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((1, c), jnp.float32),  # colsum
+            pltpu.VMEM((1, c), jnp.float32),  # colsumsq
+            pltpu.VMEM((2, c), jnp.float32),  # mean/rstd per channel
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=10 * b * h * w * c, bytes_accessed=3 * b * h * w * c * x.dtype.itemsize,
+            transcendentals=b * h * w * c if apply_silu else 0,
+        ),
+    )(x, scale, bias)
+
+
+def pallas_gn_eligible(x: jax.Array) -> bool:
+    if jax.default_backend() not in ("tpu", "axon"):
+        return False
+    _, h, w, c = x.shape
+    return c % 128 == 0
+
+
+__all__ = ["group_norm_silu", "pallas_gn_eligible"]
