@@ -118,14 +118,21 @@ class CrossAttention(nn.Module):
         q = q.reshape(b, tq, self.heads, self.dim_head)
         k = k.reshape(b, tk, self.heads, self.dim_head)
         v = v.reshape(b, tk, self.heads, self.dim_head)
-        scale = 1.0 / math.sqrt(self.dim_head)
-        attn = jnp.einsum(
-            "bqhd,bkhd->bhqk", q.astype(jnp.float32) * scale, k.astype(jnp.float32),
-            preferred_element_type=jnp.float32,
-        )
-        attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
-        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v,
-                         preferred_element_type=jnp.float32).astype(v.dtype)
+        if tq == tk:
+            # self-attention over latent tokens — the SD hot spot (T=4096 at
+            # 64x64 latents); routes to the Pallas flash kernel on TPU.
+            from diffusion_tts_tpu.ops.attention import multihead_attention_fp32
+
+            out = multihead_attention_fp32(q, k, v)
+        else:
+            scale = 1.0 / math.sqrt(self.dim_head)
+            attn = jnp.einsum(
+                "bqhd,bkhd->bhqk", q.astype(jnp.float32) * scale,
+                k.astype(jnp.float32), preferred_element_type=jnp.float32,
+            )
+            attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
+            out = jnp.einsum("bhqk,bkhd->bqhd", attn, v,
+                             preferred_element_type=jnp.float32).astype(v.dtype)
         out = out.reshape(b, tq, inner)
         return nn.Dense(inner, dtype=self.dtype, name="to_out_0")(out)
 

@@ -24,6 +24,12 @@ import jax
 # in; config.update takes effect as long as no backend has initialized yet.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compile cache: the suite is dominated by recompiles of tiny
+# models; reruns drop from ~17 min to a few minutes.
+from diffusion_tts_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache(os.path.join(os.path.dirname(__file__), "..", ".jax_cache_tests"))
+
 import pathlib
 
 import pytest
