@@ -47,15 +47,22 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_train_step(step_fn, mesh: Mesh, *, data_axis: str = "data"):
-    """jit a train step with data-parallel shardings: state/params
-    replicated, per-round microbatches sharded on the batch axis, key
-    replicated. The gradient mean over the sharded batch IS the DDP
-    all-reduce (training_loop.py:89,123-132) — inserted by XLA as a psum
-    over ICI."""
-    state_sh = replicated(mesh)
+def shard_train_step(step_fn, mesh: Mesh, *, data_axis: str = "data",
+                     model_sharded_state: bool = False):
+    """jit a train step over the mesh: per-round microbatches sharded on the
+    batch axis, key replicated. The gradient mean over the sharded batch IS
+    the DDP all-reduce (training_loop.py:89,123-132) — inserted by XLA as a
+    psum over ICI.
+
+    model_sharded_state=False (pure DP): state pinned replicated.
+    model_sharded_state=True (DP x TP): the state keeps whatever per-leaf
+    shardings it arrived with (see sharding_rules.shard_state) and GSPMD
+    propagates them — outputs inherit the input layout."""
     batch_sh = NamedSharding(mesh, P(None, data_axis))  # [rounds, batch, ...]
     key_sh = replicated(mesh)
+    if model_sharded_state:
+        return jax.jit(step_fn, in_shardings=(None, batch_sh, batch_sh, key_sh))
+    state_sh = replicated(mesh)
     return jax.jit(
         step_fn,
         in_shardings=(state_sh, batch_sh, batch_sh, key_sh),

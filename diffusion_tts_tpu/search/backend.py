@@ -64,11 +64,23 @@ def _tile_cond(cond, n):
 
 @dataclasses.dataclass
 class EDMSearchBackend:
-    """EDM backend: Heun/churn step, pixel-space decode = uint8 quantize."""
+    """EDM backend: Heun/churn step, pixel-space decode = uint8 quantize.
+
+    candidate_sharding: optional NamedSharding for the flattened [N*B]
+    candidate batch — set it to shard search expansion across a device mesh
+    (the reference's only scaling axis for search is in-chip batching,
+    SURVEY.md §2c; this is the multi-chip version).
+    """
 
     sampler: EDMHeunSampler
     scorer: Any  # scorers.Scorer
     scorer_cond: jax.Array | None = None  # class labels [B, label_dim]
+    candidate_sharding: Any = None
+
+    def _constrain(self, x):
+        if self.candidate_sharding is not None:
+            return jax.lax.with_sharding_constraint(x, self.candidate_sharding)
+        return x
 
     @property
     def num_steps(self) -> int:
@@ -84,6 +96,8 @@ class EDMSearchBackend:
         n, b = eps.shape[:2]
         x_flat = jnp.broadcast_to(x[None], eps.shape).reshape((n * b,) + x.shape[1:])
         eps_flat = eps.reshape((n * b,) + eps.shape[2:])
+        x_flat = self._constrain(x_flat)
+        eps_flat = self._constrain(eps_flat)
         x_next, pred_x0 = self.sampler.step(x_flat, i, eps_flat)
         images = quantize_to_uint8_grid(pred_x0)
         return x_next.reshape(eps.shape), images

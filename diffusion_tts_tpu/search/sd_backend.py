@@ -34,6 +34,12 @@ class SDSearchBackend:
     vae_decode: Callable[[jax.Array], jax.Array]
     scorer: Any
     scorer_cond: Any = None  # text features / token ids, broadcastable
+    candidate_sharding: Any = None  # NamedSharding for the [N*B] expansion
+
+    def _constrain(self, x):
+        if self.candidate_sharding is not None:
+            return jax.lax.with_sharding_constraint(x, self.candidate_sharding)
+        return x
 
     @property
     def num_steps(self) -> int:
@@ -52,9 +58,11 @@ class SDSearchBackend:
     def expand(self, x, i, aux, eps):
         n, b = eps.shape[:2]
         feat = x.shape[1:]
-        x_flat = jnp.broadcast_to(x[None], eps.shape).reshape((n * b,) + feat)
-        aux_flat = jnp.broadcast_to(aux[None], (n,) + aux.shape).reshape((n * b,) + feat)
-        eps_flat = eps.reshape((n * b,) + feat)
+        x_flat = self._constrain(
+            jnp.broadcast_to(x[None], eps.shape).reshape((n * b,) + feat))
+        aux_flat = self._constrain(
+            jnp.broadcast_to(aux[None], (n,) + aux.shape).reshape((n * b,) + feat))
+        eps_flat = self._constrain(eps.reshape((n * b,) + feat))
         lat_cand, _ = self.sampler.step_math(x_flat, i, aux_flat, eps_flat)
         # lookahead at the SAME timestep (reference quirk, pipeline:1386-1411)
         np2 = self.sampler.eps_model(lat_cand, self._t(i, n * b))
