@@ -75,7 +75,12 @@ def main(argv=None):
         kwargs["prompt_embeds"] = jax.random.normal(
             jax.random.key(args.seed + 1), (1, 7, pipe.unet.cross_attention_dim)
         )
+        # no tokenizer: give the CLIP reward random token ids so the tiny
+        # demo still exercises the text-image similarity path
+        ids = jax.random.randint(jax.random.key(args.seed + 2), (1, 8), 0, 999)
+        scorers["clip"] = (clip, clip.text_features(ids))
 
+    os.makedirs(args.outdir, exist_ok=True)
     for name, (scorer, cond) in scorers.items():
         images, scores = pipe(
             num_inference_steps=args.steps, score_function=scorer,
