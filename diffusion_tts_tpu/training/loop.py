@@ -83,6 +83,10 @@ def training_loop(
         return net.apply({"params": params}, x, sigma, labels,
                          augment_labels=augment_labels, train=True, rngs=rngs)
 
+    from diffusion_tts_tpu.utils.misc import print_module_summary
+
+    if jax.process_index() == 0:
+        print_module_summary(variables["params"], max_rows=0)
     tx = make_optimizer(train_cfg)
     state = TrainState.create(variables["params"], tx)
     if resume_state_path:

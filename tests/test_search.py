@@ -111,3 +111,19 @@ def test_noise_trajectory_recording():
         "eps_greedy", backend, Z, jax.random.key(6), PARAMS, record_noises=True
     )
     assert res.best_noises.shape == (backend.num_steps, PARAMS.K) + Z.shape
+
+
+def test_nfe_accounting():
+    from diffusion_tts_tpu.search.nfe import nfe_per_sample
+    from diffusion_tts_tpu.utils.config import SearchParams
+
+    p = SearchParams(N=4, K=20, B=2, S=8)
+    # SURVEY.md §6 cost model rows
+    assert nfe_per_sample("naive", 18, p) == 36
+    assert nfe_per_sample("rejection", 18, p) == 4 * 36
+    assert nfe_per_sample("eps_greedy", 18, p) == 18 * (20 * 4 + 1) * 2
+    assert nfe_per_sample("beam", 18, p) == 18 * 2 * 4 * 2
+    assert nfe_per_sample("naive", 50, p, backend="sd") == 50
+    assert nfe_per_sample("eps_greedy", 50, p, backend="sd") == 50 * (1 + 80)
+    with __import__("pytest").raises(ValueError):
+        nfe_per_sample("bogus", 18, p)

@@ -25,24 +25,7 @@ if os.environ.get("JAX_PLATFORMS"):
     jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 
-def nfe_count(method: str, steps: int, p) -> int:
-    """Denoiser forwards per sample (Heun pair = 2 per step; SURVEY.md §6).
-    The uniform-step design pays the masked second call on the final step,
-    so per-step cost is 2 everywhere."""
-    per_step = 2
-    if method == "naive":
-        return steps * per_step
-    if method == "rejection":
-        return p.N * steps * per_step
-    if method in ("zero_order", "eps_greedy"):
-        return steps * (p.K * p.N + 1) * per_step
-    if method == "beam":
-        return steps * p.B * p.N * per_step + p.B * 0
-    if method == "mcts":
-        # per timestep: root expansion (<=N) + S rollouts x (expansion <=N +
-        # zero-noise sim over all steps, masked scan costs full length)
-        return steps * (p.N + p.S * (p.N + steps)) * per_step
-    raise ValueError(method)
+from diffusion_tts_tpu.search.nfe import nfe_per_sample as nfe_count  # noqa: E402
 
 
 def main(argv=None):
@@ -106,7 +89,7 @@ def main(argv=None):
         r.score.block_until_ready()
         wall = time.perf_counter() - t0
         reward = float(r.score.mean())
-        nfe = nfe_count(method, args.steps, params)
+        nfe = nfe_count(method, args.steps, params, backend="edm")
         if method == "naive":
             base_reward = reward
         rows.append(dict(
