@@ -10,7 +10,6 @@ random init for smoke runs.
 """
 from __future__ import annotations
 
-import dataclasses
 from typing import Any
 
 import jax

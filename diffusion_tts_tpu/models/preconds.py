@@ -10,12 +10,10 @@ x is NHWC [B, H, W, C]; sigma is scalar or [B].
 """
 from __future__ import annotations
 
-import math
-from typing import Any, Sequence
+from typing import Any
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from flax import linen as nn
 
 from diffusion_tts_tpu.models.edm_nets import DhariwalUNet, SongUNet

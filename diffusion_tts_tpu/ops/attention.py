@@ -9,8 +9,6 @@ attention.py) is used on TPU for large T when enabled.
 """
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 

@@ -14,7 +14,7 @@ concat, method='eps_greedy'.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -7,7 +7,6 @@ available locally (zero-egress environments can't download it; random init
 is used for pipeline tests)."""
 from __future__ import annotations
 
-import os
 from typing import Any
 
 import jax

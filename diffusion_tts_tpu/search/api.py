@@ -11,7 +11,6 @@ import dataclasses
 from typing import Any
 
 import jax
-import jax.numpy as jnp
 
 from diffusion_tts_tpu.search.beam import beam_search
 from diffusion_tts_tpu.search.mcts import mcts_search

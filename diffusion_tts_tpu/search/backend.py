@@ -16,7 +16,7 @@ float [0,1] images on the exact uint8 grid the reference feeds its scorers.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Protocol
+from typing import Any, Protocol
 
 import jax
 import jax.numpy as jnp

@@ -30,7 +30,6 @@ timestep see stale stats; rollout_batch=1 gives textbook sequential MCTS
 """
 from __future__ import annotations
 
-import math
 from typing import NamedTuple
 
 import jax

@@ -8,8 +8,6 @@ in [-1, 1].
 from __future__ import annotations
 
 import dataclasses
-import math
-from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
