@@ -1,2 +1,3 @@
 from diffusion_tts_tpu.search.backend import EDMSearchBackend, SearchBackend  # noqa: F401
 from diffusion_tts_tpu.search.api import SearchResult, run_search  # noqa: F401
+from diffusion_tts_tpu.search.naive import replay_trajectory  # noqa: F401

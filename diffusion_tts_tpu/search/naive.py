@@ -58,4 +58,23 @@ def rejection_search(backend, z: jax.Array, key: jax.Array, n: int) -> tuple[jax
     return x_best, jnp.max(scores, axis=0)
 
 
-__all__ = ["naive_sample", "rejection_search"]
+
+
+def replay_trajectory(backend, z: jax.Array, noises: jax.Array) -> jax.Array:
+    """Advance with an explicit per-step noise trajectory [steps, B, ...] —
+    the consumer of run_search(record_noises=True) and the counterpart of
+    the reference's precomputed_noise injection (edm/main.py:54,113-121):
+    replaying the selected pivots reproduces the searched sample exactly."""
+    x = backend.init_latents(z)
+
+    def body(x, inp):
+        i, eps = inp
+        aux = backend.base_step(x, i)
+        return backend.advance(x, i, aux, eps), None
+
+    steps = jnp.arange(backend.num_steps, dtype=jnp.int32)
+    x, _ = jax.lax.scan(body, x, (steps, noises))
+    return x
+
+
+__all__ = ["naive_sample", "rejection_search", "replay_trajectory"]

@@ -127,3 +127,16 @@ def test_nfe_accounting():
     assert nfe_per_sample("eps_greedy", 50, p, backend="sd") == 50 * (1 + 80)
     with __import__("pytest").raises(ValueError):
         nfe_per_sample("bogus", 18, p)
+
+
+def test_replay_reproduces_search_trajectory():
+    """Replaying the recorded per-step pivots must reproduce the searched
+    sample exactly (the precomputed_noise contract, edm/main.py:113-121)."""
+    from diffusion_tts_tpu.search import replay_trajectory
+
+    backend = make_backend()
+    res = run_search("eps_greedy", backend, Z, jax.random.key(9), PARAMS,
+                     record_noises=True)
+    final_pivots = res.best_noises[:, -1]  # [steps, B, ...] last-K pivot
+    x = replay_trajectory(backend, Z, jnp.asarray(final_pivots))
+    np.testing.assert_allclose(np.asarray(x), np.asarray(res.x), rtol=1e-6, atol=1e-6)
