@@ -118,20 +118,37 @@ def generate_image_grid(
     else:
         labels = None
 
-    denoise = lambda x, s: net.apply(
-        variables, x, s,
-        jnp.tile(labels, (x.shape[0] // n_img, 1)) if labels is not None else None,
-    )
-    sampler = EDMHeunSampler(
-        denoise=denoise, num_steps=num_steps, sigma_min=sigma_min,
-        sigma_max=sigma_max, rho=rho, S_churn=S_churn, S_min=S_min, S_max=S_max,
-        S_noise=S_noise,
-    )
-    backend = EDMSearchBackend(sampler=sampler, scorer=scorer,
-                               scorer_cond=labels if scorer_needs_labels else None)
+    # Model (and scorer) weights ride through jit as arguments — closing
+    # over them would bake hundreds of MB of constants into the HLO.
+    bargs = {"net": variables}
+    scorer_has_vars = hasattr(scorer, "variables") or hasattr(scorer, "params")
+    if hasattr(scorer, "variables"):
+        bargs["scorer"] = scorer.variables
+    elif hasattr(scorer, "params"):
+        bargs["scorer"] = scorer.params
+
+    def make_backend(b):
+        denoise = lambda x, s: net.apply(
+            b["net"], x, s,
+            jnp.tile(labels, (x.shape[0] // n_img, 1)) if labels is not None else None,
+        )
+        sampler = EDMHeunSampler(
+            denoise=denoise, num_steps=num_steps, sigma_min=sigma_min,
+            sigma_max=sigma_max, rho=rho, S_churn=S_churn, S_min=S_min,
+            S_max=S_max, S_noise=S_noise,
+        )
+        if "scorer" in b and hasattr(scorer, "variables"):
+            sc = lambda img, cond, t=None: scorer(img, cond, t, variables=b["scorer"])
+        elif "scorer" in b:
+            sc = lambda img, cond, t=None: scorer(img, cond, t, params=b["scorer"])
+        else:
+            sc = scorer
+        return EDMSearchBackend(sampler=sampler, scorer=sc,
+                                scorer_cond=labels if scorer_needs_labels else None)
+
     z = jax.random.normal(jax.random.fold_in(key, 0), (n_img, res, res, ch))
-    result = run_search(method, backend, z, key, params or SearchParams(),
-                        record_noises=record_noises)
+    result = run_search(method, make_backend, z, key, params or SearchParams(),
+                        backend_args=bargs, record_noises=record_noises)
     print(f"Average score: {float(result.score.mean())}")
 
     if dest_path:

@@ -213,6 +213,7 @@ def ddim_schedule(
     steps_offset: int = 1,
     *,
     dtype=jnp.float32,
+    as_numpy: bool = False,
 ) -> DDIMSchedule:
     """Build the alpha-bar table and the 'leading'-spaced timestep subsequence
     (reference scheduling_ddim.py:305-341; SD-1.5 uses steps_offset=1)."""
@@ -234,6 +235,16 @@ def ddim_schedule(
     timesteps = (np.arange(num_inference_steps) * step_ratio).round()[::-1].copy()
     timesteps = timesteps + steps_offset
 
+    if as_numpy:
+        # host-side fp64 tables (samplers build their step tables from these
+        # at construction time, possibly inside a trace)
+        return DDIMSchedule(
+            alphas_cumprod=alphas_cumprod,
+            timesteps=timesteps.astype(np.int64),
+            final_alpha_cumprod=np.float64(final),
+            num_train_timesteps=num_train_timesteps,
+            num_inference_steps=num_inference_steps,
+        )
     return DDIMSchedule(
         alphas_cumprod=jnp.asarray(alphas_cumprod, dtype=dtype),
         timesteps=jnp.asarray(timesteps, dtype=jnp.int32),

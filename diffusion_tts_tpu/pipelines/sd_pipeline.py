@@ -145,25 +145,28 @@ class StableDiffusionSearchPipeline:
         return jnp.asarray(enc(neg)), jnp.asarray(enc(prompts))
 
     def make_backend(
-        self, uncond_embeds, cond_embeds, scorer, scorer_cond=None,
+        self, bargs, scorer, scorer_cond=None,
         num_inference_steps: int = 100, eta: float = 1.0,
-        guidance_scale: float | None = None,
+        guidance_scale: float | None = None, batch: int = 1,
     ) -> SDSearchBackend:
+        """bargs: {"unet", "vae", "uncond", "cond"[, "scorer"]} — the traced
+        pytree so jit never bakes the model weights in as constants."""
         g = self.guidance_scale if guidance_scale is None else guidance_scale
-        b = cond_embeds.shape[0]
+        b = batch
         do_cfg = g > 1.0
 
         def eps_model(x, t):
             reps = x.shape[0] // b
             if not do_cfg:
-                ctx = jnp.tile(cond_embeds, (reps, 1, 1))
-                return self.unet.apply(self.unet_params, x, t, ctx)
+                ctx = jnp.tile(bargs["cond"], (reps, 1, 1))
+                return self.unet.apply(bargs["unet"], x, t, ctx)
             ctx = jnp.concatenate(
-                [jnp.tile(uncond_embeds, (reps, 1, 1)), jnp.tile(cond_embeds, (reps, 1, 1))]
+                [jnp.tile(bargs["uncond"], (reps, 1, 1)),
+                 jnp.tile(bargs["cond"], (reps, 1, 1))]
             )
             xin = jnp.concatenate([x, x])
             tin = jnp.concatenate([t, t])
-            out = self.unet.apply(self.unet_params, xin, tin, ctx)
+            out = self.unet.apply(bargs["unet"], xin, tin, ctx)
             un, tx = jnp.split(out, 2, axis=0)
             return un + g * (tx - un)
 
@@ -173,12 +176,18 @@ class StableDiffusionSearchPipeline:
 
         def vae_decode(lat):
             return self.vae.apply(
-                self.vae_params, lat / self.vae.scaling_factor,
+                bargs["vae"], lat / self.vae.scaling_factor,
                 method=AutoencoderKL.decode,
             )
 
+        if "scorer" in bargs and hasattr(scorer, "params"):
+            sc = lambda img, cond, t=None: scorer(img, cond, t, params=bargs["scorer"])
+        elif "scorer" in bargs and hasattr(scorer, "variables"):
+            sc = lambda img, cond, t=None: scorer(img, cond, t, variables=bargs["scorer"])
+        else:
+            sc = scorer
         return SDSearchBackend(
-            sampler=sampler, vae_decode=vae_decode, scorer=scorer,
+            sampler=sampler, vae_decode=vae_decode, scorer=sc,
             scorer_cond=scorer_cond,
         )
 
@@ -221,20 +230,30 @@ class StableDiffusionSearchPipeline:
         if score_function is None:
             score_function = lambda images, cond, t=None: jnp.zeros(images.shape[0])
 
-        backend = self.make_backend(
-            uncond, cond, score_function, scorer_cond=scorer_cond,
-            num_inference_steps=num_inference_steps, eta=eta,
-            guidance_scale=guidance_scale,
-        )
+        b = cond.shape[0]
+        bargs = {"unet": self.unet_params, "vae": self.vae_params,
+                 "uncond": uncond, "cond": cond}
+        if hasattr(score_function, "params"):
+            bargs["scorer"] = score_function.params
+        elif hasattr(score_function, "variables"):
+            bargs["scorer"] = score_function.variables
+
+        def factory(ba):
+            return self.make_backend(
+                ba, score_function, scorer_cond=scorer_cond,
+                num_inference_steps=num_inference_steps, eta=eta,
+                guidance_scale=guidance_scale, batch=b,
+            )
+
         sample = self.unet.sample_size
         h = (height or sample * self.vae_scale_factor) // self.vae_scale_factor
         w = (width or sample * self.vae_scale_factor) // self.vae_scale_factor
-        b = cond.shape[0]
         z = jax.random.normal(
             jax.random.fold_in(key, 0xD1F), (b, h, w, self.unet.in_channels)
         )
         result: SearchResult = run_search(
-            method, backend, z, key, params, record_noises=record_noises
+            method, factory, z, key, params, backend_args=bargs,
+            record_noises=record_noises,
         )
         return np.asarray(result.images), np.asarray(result.score)
 

@@ -60,6 +60,7 @@ class StochasticDDIMSampler:
             beta_schedule=self.beta_schedule,
             set_alpha_to_one=self.set_alpha_to_one,
             steps_offset=self.steps_offset,
+            as_numpy=True,  # tables may be built inside a trace
         )
         acp = np.asarray(sched.alphas_cumprod, np.float64)
         ts = np.asarray(sched.timesteps, np.int64)

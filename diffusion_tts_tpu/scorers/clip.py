@@ -84,10 +84,12 @@ class CLIPScorer:
             self._text_cache[key] = emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
         return self._text_cache[key]
 
-    def __call__(self, images01: jax.Array, cond=None, timesteps=None) -> jax.Array:
-        """cond: normalized text features [B or 1, D], or token ids [B, L]."""
+    def __call__(self, images01: jax.Array, cond=None, timesteps=None, *,
+                 params=None) -> jax.Array:
+        """cond: normalized text features [B or 1, D], or token ids [B, L].
+        params: optional override to thread CLIP weights through jit."""
         pix = preprocess_images(images01, self.image_size)
-        img = self._image_features(self.params, pix)
+        img = self._image_features(params if params is not None else self.params, pix)
         img = img / jnp.linalg.norm(img, axis=-1, keepdims=True)
         if cond is None:
             return jnp.zeros(img.shape[0], jnp.float32)

@@ -40,10 +40,14 @@ class ImageNetScorer:
         state = {k: v.numpy() for k, v in state.items()}
         return cls(variables=convert_classifier_state_dict(state), **model_overrides)
 
-    def __call__(self, images01: jax.Array, cond=None, timesteps=None) -> jax.Array:
+    def __call__(self, images01: jax.Array, cond=None, timesteps=None, *,
+                 variables=None) -> jax.Array:
+        """variables: optional override so callers inside jit can thread the
+        classifier weights as traced arguments instead of baked constants."""
         if timesteps is None:
             timesteps = jnp.zeros((images01.shape[0],), jnp.float32)
-        logits = self._apply(self.variables, images01.astype(jnp.float32), timesteps)
+        v = variables if variables is not None else self.variables
+        logits = self._apply(v, images01.astype(jnp.float32), timesteps)
         probs = jax.nn.softmax(logits, axis=-1)
         if cond is None:
             raise ValueError("ImageNetScorer needs class labels")

@@ -4,6 +4,13 @@ Counterpart of the reference's method dispatch (edm/main.py:27-33 enum,
 main.py:168-175 CLI map) with the whole search compiled as one XLA program
 per (method, shape, params) — candidate expansion, scoring, and selection
 never leave the device.
+
+Large-model usage MUST pass the model state through the traced path:
+closing over a 300M-parameter tree inside jit bakes it into the HLO as
+constants (compile blows up, executables balloon to the parameter size).
+Pass ``backend`` as a FACTORY ``backend_args -> SearchBackend`` together
+with ``backend_args`` (the params pytree); tiny test backends may still be
+passed as plain instances.
 """
 from __future__ import annotations
 
@@ -19,6 +26,8 @@ from diffusion_tts_tpu.search.zero_order import eps_greedy_search, zero_order_se
 from diffusion_tts_tpu.utils.config import SearchParams
 
 METHODS = ("naive", "rejection", "beam", "mcts", "zero_order", "eps_greedy")
+
+_UNSET = object()
 
 
 @dataclasses.dataclass
@@ -36,38 +45,45 @@ def run_search(
     key: jax.Array,
     params: SearchParams | None = None,
     *,
+    backend_args: Any = _UNSET,
     record_noises: bool = False,
     mcts_rollout_batch: int | None = None,
     jit: bool = True,
 ) -> SearchResult:
     """Run one search method end-to-end. z: [B, ...] unit-variance latents;
-    the final image and score are always computed (edm/main.py:869-877)."""
+    the final image and score are always computed (edm/main.py:869-877).
+
+    backend: a SearchBackend instance, or — with ``backend_args`` given — a
+    factory called as ``backend(backend_args)`` inside the traced program so
+    model parameters stay jit arguments instead of baked constants."""
     params = params or SearchParams()
     if method not in METHODS:
         raise ValueError(f"unknown method {method!r}; expected one of {METHODS}")
+    factory_mode = backend_args is not _UNSET
 
-    def go(z, key):
+    def go(z, key, bargs):
+        be = backend(bargs) if factory_mode else backend
         noises = None
         if method == "naive":
-            x = naive_sample(backend, z, key)
+            x = naive_sample(be, z, key)
         elif method == "rejection":
-            x, _ = rejection_search(backend, z, key, params.N)
+            x, _ = rejection_search(be, z, key, params.N)
         elif method == "beam":
-            x = beam_search(backend, z, key, params).x
+            x = beam_search(be, z, key, params).x
         elif method == "mcts":
-            x = mcts_search(backend, z, key, params, rollout_batch=mcts_rollout_batch).x
+            x = mcts_search(be, z, key, params, rollout_batch=mcts_rollout_batch).x
         elif method == "zero_order":
-            r = zero_order_search(backend, z, key, params, record_noises=record_noises)
+            r = zero_order_search(be, z, key, params, record_noises=record_noises)
             x, noises = r.x, r.best_noises
         else:  # eps_greedy
-            r = eps_greedy_search(backend, z, key, params, record_noises=record_noises)
+            r = eps_greedy_search(be, z, key, params, record_noises=record_noises)
             x, noises = r.x, r.best_noises
-        images = backend.final_images(x)
-        score = backend.score(images)
+        images = be.final_images(x)
+        score = be.score(images)
         return x, images, score, noises
 
-    fn = jax.jit(go) if jit else go
-    x, images, score, noises = fn(z, key)
+    fn = jax.jit(go, static_argnums=()) if jit else go
+    x, images, score, noises = fn(z, key, backend_args if factory_mode else None)
     return SearchResult(x=x, images=images, score=score, best_noises=noises)
 
 

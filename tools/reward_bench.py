@@ -67,15 +67,18 @@ def main(argv=None):
 
     labels = (jnp.eye(label_dim)[jnp.asarray(seeds) % label_dim]
               if label_dim else None)
-    denoise = lambda x, s: net.apply(
-        variables, x, s,
-        jnp.tile(labels, (x.shape[0] // b, 1)) if labels is not None else None,
-    )
-    sampler = EDMHeunSampler(
-        denoise=denoise, num_steps=args.steps, S_churn=40.0, S_min=0.05,
-        S_max=50.0, S_noise=1.003,
-    )
-    backend = EDMSearchBackend(sampler=sampler, scorer=scorer)
+
+    def make_backend(v):
+        denoise = lambda x, s: net.apply(
+            v, x, s,
+            jnp.tile(labels, (x.shape[0] // b, 1)) if labels is not None else None,
+        )
+        sampler = EDMHeunSampler(
+            denoise=denoise, num_steps=args.steps, S_churn=40.0, S_min=0.05,
+            S_max=50.0, S_noise=1.003,
+        )
+        return EDMSearchBackend(sampler=sampler, scorer=scorer)
+
     z = jnp.stack([
         jax.random.normal(jax.random.key(s), (res, res, ch)) for s in seeds
     ])
@@ -85,7 +88,8 @@ def main(argv=None):
     for method in args.methods.split(","):
         key = jax.random.key(1234)
         t0 = time.perf_counter()
-        r = run_search(method, backend, z, key, params)
+        r = run_search(method, make_backend, z, key, params,
+                       backend_args=variables)
         r.score.block_until_ready()
         wall = time.perf_counter() - t0
         reward = float(r.score.mean())
