@@ -56,6 +56,7 @@ def training_loop(
     augment_fn: Callable | None = None,
     mesh=None,
     resume_state_path: str | None = None,
+    transfer_snapshot_path: str | None = None,
     max_ticks: int | None = None,
 ) -> TrainState:
     mesh = mesh or make_mesh()
@@ -88,7 +89,19 @@ def training_loop(
     if jax.process_index() == 0:
         print_module_summary(variables["params"], max_rows=0)
     tx = make_optimizer(train_cfg)
-    state = TrainState.create(variables["params"], tx)
+    init_params = variables["params"]
+    if transfer_snapshot_path:
+        # transfer learning: initialize from a donor EMA snapshot, keeping
+        # randomly-initialized values for any missing leaves
+        # (train.py:165-169, misc.py:155-166)
+        from diffusion_tts_tpu.utils.misc import copy_params_and_buffers
+
+        donor, _ = checkpoints.load_snapshot(
+            transfer_snapshot_path, like=jax.device_get(init_params)
+        )
+        init_params = copy_params_and_buffers(donor, init_params, require_all=False)
+        print0(f"transferred weights from {transfer_snapshot_path}")
+    state = TrainState.create(init_params, tx)
     if resume_state_path:
         state = checkpoints.load_state(resume_state_path, like=state)
         print0(f"resumed from {resume_state_path} at nimg={int(state.nimg)}")

@@ -168,3 +168,61 @@ def test_training_loop_smoke(tmp_path):
     assert int(state.nimg) > 0
     assert os.path.exists(os.path.join(str(tmp_path), "stats.jsonl"))
     assert os.path.exists(os.path.join(str(tmp_path), "network-snapshot-final.config.json"))
+
+
+def test_training_loop_transfer_and_resume(tmp_path):
+    """transfer: EMA-snapshot init (train.py:165-169); resume: exact state
+    restore (training_loop.py:92-109)."""
+    from diffusion_tts_tpu.training import checkpoints
+    from diffusion_tts_tpu.training.loop import LoopConfig, training_loop
+    from diffusion_tts_tpu.training.dataset import batch_iterator
+
+    rng = np.random.default_rng(0)
+    images = rng.integers(0, 255, (16, 8, 8, 3), dtype=np.uint8)
+    labels = rng.integers(0, 4, (16,))
+    ds = ImageDataset(images=images, labels=labels)
+    net = make_net()
+    run1 = str(tmp_path / "r1")
+    state1 = training_loop(
+        net=net, net_config={"img_resolution": 8},
+        data_iter=batch_iterator(ds, 16), loss_fn=EDMLoss(),
+        train_cfg=TrainConfig(lr=1e-3, grad_accum_rounds=2, total_batch=16),
+        loop_cfg=LoopConfig(run_dir=run1, total_kimg=1, kimg_per_tick=1,
+                            snapshot_ticks=1, state_dump_ticks=1),
+        mesh=make_mesh({"data": 8}), max_ticks=1,
+    )
+    snap = os.path.join(run1, "network-snapshot-final")
+    state_dump = [f for f in os.listdir(run1) if f.startswith("training-state-")
+                  and not f.endswith(".json")]
+    assert state_dump
+
+    # transfer: new run starts from the snapshot's EMA weights
+    run2 = str(tmp_path / "r2")
+    state2 = training_loop(
+        net=net, net_config={"img_resolution": 8},
+        data_iter=batch_iterator(ds, 16), loss_fn=EDMLoss(),
+        train_cfg=TrainConfig(lr=0.0, grad_accum_rounds=2, total_batch=16,
+                              lr_rampup_kimg=0.0),
+        loop_cfg=LoopConfig(run_dir=run2, total_kimg=1, kimg_per_tick=1,
+                            snapshot_ticks=0, state_dump_ticks=0),
+        mesh=make_mesh({"data": 8}),
+        transfer_snapshot_path=snap, max_ticks=1,
+    )
+    # lr=0 -> params stay at the transferred EMA values
+    a = jax.tree_util.tree_leaves(jax.device_get(state2.params))
+    b = jax.tree_util.tree_leaves(jax.device_get(state1.ema_params))
+    for pa, pb in zip(a, b):
+        np.testing.assert_allclose(pa, pb, atol=1e-7)
+
+    # resume: nimg restored from the dump
+    run3 = str(tmp_path / "r3")
+    state3 = training_loop(
+        net=net, net_config={"img_resolution": 8},
+        data_iter=batch_iterator(ds, 16), loss_fn=EDMLoss(),
+        train_cfg=TrainConfig(lr=1e-3, grad_accum_rounds=2, total_batch=16),
+        loop_cfg=LoopConfig(run_dir=run3, total_kimg=1, kimg_per_tick=1,
+                            snapshot_ticks=0, state_dump_ticks=0),
+        mesh=make_mesh({"data": 8}),
+        resume_state_path=os.path.join(run1, state_dump[0]), max_ticks=1,
+    )
+    assert int(state3.nimg) > int(state1.nimg)

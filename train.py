@@ -58,6 +58,7 @@ def main(argv=None):
     p.add_argument("--augment", type=float, default=0.12)
     p.add_argument("--xflip", type=int, default=0)
     p.add_argument("--bf16", type=int, default=0, help="bf16 compute (the fp16 flag's TPU counterpart)")
+    p.add_argument("--ls", type=float, default=1.0, help="loss scaling (reference --ls; bf16 rarely needs it)")
     p.add_argument("--desc", type=str, default=None)
     p.add_argument("--nosubdir", action="store_true")
     p.add_argument("--tick", type=int, default=50, help="kimg per tick")
@@ -105,6 +106,9 @@ def main(argv=None):
                    "edm": preconds.EDMPrecond}[args.precond]
     loss_fn = {"vp": losses.VPLoss(), "ve": losses.VELoss(),
                "edm": losses.EDMLoss()}[args.precond]
+    if args.ls != 1.0:
+        inner_loss = loss_fn
+        loss_fn = lambda d, im, lab, k, aug=None: args.ls * inner_loss(d, im, lab, k, aug)
 
     net_config = dict(
         precond=args.precond, img_resolution=res, img_channels=dataset.image_shape[2],
@@ -160,7 +164,8 @@ def main(argv=None):
     training_loop(
         net=net, net_config=net_config, data_iter=data_iter, loss_fn=loss_fn,
         train_cfg=train_cfg, loop_cfg=loop_cfg, augment_fn=augment_fn,
-        resume_state_path=args.resume, max_ticks=args.max_ticks,
+        resume_state_path=args.resume, transfer_snapshot_path=args.transfer,
+        max_ticks=args.max_ticks,
     )
 
 
