@@ -49,6 +49,8 @@ def _peak_flops() -> float:
 
 
 def main():
+    import sys
+
     from diffusion_tts_tpu.scorers import BrightnessScorer
     from diffusion_tts_tpu.samplers.edm import EDMHeunSampler
     from diffusion_tts_tpu.search.backend import EDMSearchBackend
@@ -123,6 +125,12 @@ def main():
     cost = fwd.lower(variables, x, sigma).compile().cost_analysis()
     flops_per_fwd = float(cost["flops"]) / batch if cost and "flops" in cost else 0.0
 
+    profile_dir = None
+    if "--profile" in sys.argv:
+        from diffusion_tts_tpu.utils.misc import start_trace
+
+        profile_dir = "bench_trace"
+        start_trace(profile_dir)
     reps = 3 if on_tpu else 1
     t0 = time.perf_counter()
     for _ in range(reps):
@@ -130,6 +138,11 @@ def main():
     out.block_until_ready()
     dt = time.perf_counter() - t0
     iters = iters * reps
+    if profile_dir:
+        from diffusion_tts_tpu.utils.misc import stop_trace
+
+        stop_trace()
+        print(f"profiler trace written to {profile_dir}/", file=sys.stderr)
 
     nfe = iters * n_cand * batch * 2  # Heun pair per candidate
     nfe_per_s = nfe / dt
