@@ -73,8 +73,17 @@ def main(argv=None):
     batch = args.batch or max(ndev, (len(seeds) + ndev - 1) // ndev * ndev)
     batch = (batch // ndev) * ndev or ndev
 
-    def denoise_factory(labels):
-        return lambda x, s: net.apply(variables, x, s, labels)
+    # Weights ride through jit as an argument: a closure would bake them
+    # into the HLO as constants and wedge the (remote) compile for large
+    # models.
+    @jax.jit
+    def run(v, z, eps, labels):
+        denoise = lambda x, s: net.apply(v, x, s, labels)
+        sampler = EDMHeunSampler(
+            denoise=denoise, num_steps=args.steps, S_churn=args.churn,
+        )
+        x, _ = sampler.sample(z, eps)
+        return jnp.clip(x * 127.5 + 128, 0, 255).astype(jnp.uint8)
 
     def sample_batch(seed_vals: np.ndarray) -> np.ndarray:
         keys = per_seed_keys(seed_vals)
@@ -88,18 +97,13 @@ def main(argv=None):
                 cls = jnp.full((len(seed_vals),), args.class_idx, jnp.int32)
             labels = jnp.eye(label_dim, dtype=jnp.float32)[cls]
         else:
-            labels = None
-        sampler = EDMHeunSampler(
-            denoise=denoise_factory(labels), num_steps=args.steps, S_churn=args.churn,
-        )
+            labels = jnp.zeros((len(seed_vals), 0), jnp.float32)
         eps = jax.vmap(
             lambda k: jax.random.normal(jax.random.fold_in(k, 2), (args.steps, res, res, ch))
         )(keys).transpose(1, 0, 2, 3, 4)
         sharding = NamedSharding(mesh, P("data"))
         z = jax.device_put(z, sharding)
-        run = jax.jit(sampler.sample)
-        x, _ = run(z, eps)
-        img = jnp.clip(x * 127.5 + 128, 0, 255).astype(jnp.uint8)
+        img = run(variables, z, eps, labels)
         return np.asarray(img)
 
     os.makedirs(args.outdir, exist_ok=True)
