@@ -19,6 +19,7 @@ from flax import linen as nn
 from diffusion_tts_tpu.models.layers import (
     EDMConv,
     EDMGroupNorm,
+    EDMGroupNormSiLU,
     EDMLinear,
     FourierEmbedding,
     PositionalEmbedding,
@@ -306,7 +307,7 @@ class DhariwalUNet(nn.Module):
                 )
         self.dec = dec
         self._dec_names = list(dec.keys())
-        self.out_norm = EDMGroupNorm(dtype=self.dtype)
+        self.out_norm = EDMGroupNormSiLU(dtype=self.dtype)
         self.out_conv = EDMConv(self.out_channels, 3, dtype=self.dtype, **init_zero)
 
     def __call__(
@@ -347,7 +348,7 @@ class DhariwalUNet(nn.Module):
             if "_block" in name:
                 x = jnp.concatenate([x, skips.pop()], axis=-1)
             x = m(x, emb, train=train)
-        return self.out_conv(nn.silu(self.out_norm(x)))
+        return self.out_conv(self.out_norm(x))
 
 
 __all__ = ["SongUNet", "DhariwalUNet"]

@@ -227,6 +227,45 @@ class EDMGroupNorm(nn.Module):
         return out.astype(orig_dtype)
 
 
+class EDMGroupNormSiLU(nn.Module):
+    """GroupNorm immediately followed by SiLU — the UNet's norm0/out_norm
+    pattern. Same parameter structure as EDMGroupNorm (checkpoint
+    compatible); on TPU with lane-aligned channels it runs the fused Pallas
+    kernel (ops/pallas/groupnorm.py), saving an HBM round-trip."""
+
+    num_groups: int = 32
+    min_channels_per_group: int = 4
+    eps: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        c = x.shape[-1]
+        groups = min(self.num_groups, c // self.min_channels_per_group)
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+
+        from diffusion_tts_tpu.ops.pallas.groupnorm import (
+            group_norm_silu,
+            pallas_gn_eligible,
+        )
+
+        if x.ndim == 4 and pallas_gn_eligible(x):
+            return group_norm_silu(
+                x, scale, bias, groups=groups, eps=self.eps, apply_silu=True
+            )
+        orig_dtype = x.dtype
+        xf = x.astype(jnp.float32)
+        shape = xf.shape
+        xf = xf.reshape(shape[:-1] + (groups, c // groups))
+        axes = tuple(range(1, xf.ndim - 2)) + (xf.ndim - 1,)
+        mean = jnp.mean(xf, axis=axes, keepdims=True)
+        var = jnp.var(xf, axis=axes, keepdims=True)
+        xf = ((xf - mean) * jax.lax.rsqrt(var + self.eps)).reshape(shape)
+        out = xf * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+        return nn.silu(out).astype(orig_dtype)
+
+
 class PositionalEmbedding(nn.Module):
     """DDPM++/ADM timestep embedding (networks.py:193-207): outer(t, freqs)
     -> cat[cos, sin]."""
@@ -306,11 +345,11 @@ class UNetBlock(nn.Module):
         )
 
         orig = x
-        x = EDMGroupNorm(eps=self.eps, dtype=self.dtype, name="norm0")(x)
+        x = EDMGroupNormSiLU(eps=self.eps, dtype=self.dtype, name="norm0")(x)
         x = EDMConv(
             self.out_channels, 3, up=self.up, down=self.down,
             resample_filter=self.resample_filter, dtype=self.dtype, name="conv0", **init,
-        )(nn.silu(x))
+        )(x)
 
         affine_out = self.out_channels * (2 if self.adaptive_scale else 1)
         params = EDMLinear(affine_out, dtype=self.dtype, name="affine", **init)(emb)
@@ -356,6 +395,7 @@ __all__ = [
     "EDMLinear",
     "EDMConv",
     "EDMGroupNorm",
+    "EDMGroupNormSiLU",
     "PositionalEmbedding",
     "FourierEmbedding",
     "UNetBlock",
