@@ -96,6 +96,24 @@ def jpeg_proxy_bits(images01: jax.Array, quality: int = 80) -> jax.Array:
     return bits
 
 
+@functools.lru_cache(maxsize=None)
+def _callbacks_supported() -> bool:
+    """Some PJRT backends (the axon TPU tunnel) reject host send/recv
+    callbacks entirely; probe once with a trivial pure_callback. Must run
+    OUTSIDE any trace (a probe attempted mid-trace fails spuriously and
+    would poison the cache), so the scorer probes at construction time."""
+    try:
+        probe = jax.jit(
+            lambda x: jax.pure_callback(
+                lambda a: a, jax.ShapeDtypeStruct((), jnp.float32), x
+            )
+        )
+        probe(jnp.float32(0)).block_until_ready()
+        return True
+    except Exception:
+        return False
+
+
 def _host_jpeg_sizes(images_uint8: np.ndarray, quality: int) -> np.ndarray:
     """Exact JPEG sizes. Preferred path: the native libjpeg batch encoder
     (native/jpeg_scorer.cpp — bit-identical to PIL, threaded); PIL fallback."""
@@ -130,6 +148,8 @@ class CompressibilityScorer:
         self.min_size = min_size
         self.max_size = max_size
         self.mode = mode
+        # decide the in-jit scoring strategy now, outside any trace
+        self._use_callback = mode == "jpeg" and _callbacks_supported()
         # affine bits->bytes calibration (least-squares on 64x64 images of
         # varying smoothness at quality 80, R^2=0.91; the intercept is the
         # JPEG header + huffman-table overhead)
@@ -137,11 +157,20 @@ class CompressibilityScorer:
         self.proxy_header_bytes = proxy_header_bytes
 
     def __call__(self, images01: jax.Array, cond=None, timesteps=None) -> jax.Array:
-        if self.mode == "dct":
+        concrete = not isinstance(images01, jax.core.Tracer)
+        use_exact = self.mode == "jpeg" and (concrete or self._use_callback)
+        if not use_exact:
+            # in-loop proxy: either mode="dct", or we are inside jit on a
+            # backend without host callbacks (the axon tunnel) where exact
+            # JPEG cannot run — the proxy scores the search and callers can
+            # re-score final images exactly outside jit.
             sizes = (
                 jpeg_proxy_bits(images01, self.quality) * self.proxy_bytes_per_bit
                 + self.proxy_header_bytes
             )
+        elif concrete:
+            arr = np.asarray(np.round(np.asarray(images01) * 255.0), np.uint8)
+            sizes = jnp.asarray(_host_jpeg_sizes(arr, self.quality))
         else:
             def cb(imgs):
                 arr = np.asarray(np.round(np.asarray(imgs) * 255.0), np.uint8)
