@@ -22,6 +22,7 @@ import jax
 from diffusion_tts_tpu.search.beam import beam_search
 from diffusion_tts_tpu.search.mcts import mcts_search
 from diffusion_tts_tpu.search.naive import naive_sample, rejection_search
+from diffusion_tts_tpu.search.noise import InjectedNoise
 from diffusion_tts_tpu.search.zero_order import eps_greedy_search, zero_order_search
 from diffusion_tts_tpu.utils.config import SearchParams
 
@@ -48,6 +49,7 @@ def run_search(
     backend_args: Any = _UNSET,
     record_noises: bool = False,
     mcts_rollout_batch: int | None = None,
+    noise: InjectedNoise | None = None,
     jit: bool = True,
 ) -> SearchResult:
     """Run one search method end-to-end. z: [B, ...] unit-variance latents;
@@ -55,35 +57,42 @@ def run_search(
 
     backend: a SearchBackend instance, or — with ``backend_args`` given — a
     factory called as ``backend(backend_args)`` inside the traced program so
-    model parameters stay jit arguments instead of baked constants."""
+    model parameters stay jit arguments instead of baked constants.
+
+    noise: optional InjectedNoise overriding the keyed draws (the
+    reference's precomputed_noise dict, edm/main.py:54,723-796); beam has no
+    reference injection surface and ignores it."""
     params = params or SearchParams()
     if method not in METHODS:
         raise ValueError(f"unknown method {method!r}; expected one of {METHODS}")
     factory_mode = backend_args is not _UNSET
 
-    def go(z, key, bargs):
+    def go(z, key, bargs, inj):
         be = backend(bargs) if factory_mode else backend
         noises = None
         if method == "naive":
-            x = naive_sample(be, z, key)
+            x = naive_sample(be, z, key, noise=inj)
         elif method == "rejection":
-            x, _ = rejection_search(be, z, key, params.N)
+            x, _ = rejection_search(be, z, key, params.N, noise=inj)
         elif method == "beam":
             x = beam_search(be, z, key, params).x
         elif method == "mcts":
-            x = mcts_search(be, z, key, params, rollout_batch=mcts_rollout_batch).x
+            x = mcts_search(be, z, key, params, rollout_batch=mcts_rollout_batch,
+                            noise=inj).x
         elif method == "zero_order":
-            r = zero_order_search(be, z, key, params, record_noises=record_noises)
+            r = zero_order_search(be, z, key, params, record_noises=record_noises,
+                                  noise=inj)
             x, noises = r.x, r.best_noises
         else:  # eps_greedy
-            r = eps_greedy_search(be, z, key, params, record_noises=record_noises)
+            r = eps_greedy_search(be, z, key, params, record_noises=record_noises,
+                                  noise=inj)
             x, noises = r.x, r.best_noises
         images = be.final_images(x)
         score = be.score(images)
         return x, images, score, noises
 
     fn = jax.jit(go, static_argnums=()) if jit else go
-    x, images, score, noises = fn(z, key, backend_args if factory_mode else None)
+    x, images, score, noises = fn(z, key, backend_args if factory_mode else None, noise)
     return SearchResult(x=x, images=images, score=score, best_noises=noises)
 
 

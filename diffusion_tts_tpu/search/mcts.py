@@ -35,11 +35,13 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from diffusion_tts_tpu.search.noise import (
+    SALT_MCTS_PICK as _SALT_PICK,
+    SALT_MCTS_TAB as _SALT_TAB,
+    InjectedNoise,
+)
 from diffusion_tts_tpu.utils.config import SearchParams
 from diffusion_tts_tpu.utils.rng import fold_in_path
-
-_SALT_TAB = 0x41
-_SALT_PICK = 0x42
 
 _NEG_INF = jnp.float32(-1e30)
 _POS_INF = jnp.float32(1e30)
@@ -68,6 +70,7 @@ def mcts_search(
     params: SearchParams,
     *,
     rollout_batch: int | None = None,
+    noise: InjectedNoise | None = None,
 ) -> MCTSResult:
     b_exp = params.N  # branching factor (reference: b = method_params.N)
     s_rollouts = params.S  # rollouts per timestep (reference: N = method_params.S)
@@ -85,10 +88,14 @@ def mcts_search(
     b_idx = jnp.arange(bsz)
 
     x0 = backend.init_latents(z)
-    # per-depth noise table, drawn once (edm/main.py:437-447)
-    noise_tab = jax.random.normal(
-        fold_in_path(key, _SALT_TAB), (num_steps, bsz, b_exp) + feat_shape, jnp.float32
-    )
+    # per-depth noise table, drawn once (edm/main.py:437-447); injectable
+    # like the reference's precomputed_noise[i] broadcast (edm/main.py:441-443)
+    if noise is not None and noise.mcts_table is not None:
+        noise_tab = noise.mcts_table.astype(jnp.float32)
+    else:
+        noise_tab = jax.random.normal(
+            fold_in_path(key, _SALT_TAB), (num_steps, bsz, b_exp) + feat_shape, jnp.float32
+        )
 
     tree = _Tree(
         states=jnp.zeros((bsz, maxn) + feat_shape, jnp.float32).at[:, 0].set(x0),

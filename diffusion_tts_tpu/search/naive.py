@@ -14,17 +14,23 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from diffusion_tts_tpu.search.noise import SALT_STEP, InjectedNoise
 from diffusion_tts_tpu.utils.rng import fold_in_path
 
-_SALT_STEP = 0x5A1
 
-
-def naive_sample(backend, z: jax.Array, key: jax.Array) -> jax.Array:
-    """One trajectory with fresh per-step noise. Returns terminal latents."""
+def naive_sample(backend, z: jax.Array, key: jax.Array,
+                 noise: InjectedNoise | None = None) -> jax.Array:
+    """One trajectory with fresh per-step noise. Returns terminal latents.
+    noise.step_noise [steps, B, *feat] overrides the keyed draws (the
+    reference's precomputed_noise[i] injection, edm/main.py:113-121)."""
     x = backend.init_latents(z)
+    inj = noise if noise is not None else InjectedNoise()
 
     def body(x, i):
-        eps = jax.random.normal(fold_in_path(key, _SALT_STEP, i), x.shape, x.dtype)
+        if inj.step_noise is not None:
+            eps = inj.step_noise[i].astype(x.dtype)
+        else:
+            eps = jax.random.normal(fold_in_path(key, SALT_STEP, i), x.shape, x.dtype)
         aux = backend.base_step(x, i)
         return backend.advance(x, i, aux, eps), None
 
@@ -33,15 +39,22 @@ def naive_sample(backend, z: jax.Array, key: jax.Array) -> jax.Array:
     return x
 
 
-def rejection_search(backend, z: jax.Array, key: jax.Array, n: int) -> tuple[jax.Array, jax.Array]:
+def rejection_search(backend, z: jax.Array, key: jax.Array, n: int,
+                     noise: InjectedNoise | None = None) -> tuple[jax.Array, jax.Array]:
     """Best-of-N full trajectories. Returns (best terminal latents [B,...],
-    best scores [B])."""
+    best scores [B]). noise.step_noise [steps, N, B, *feat] overrides the
+    keyed draws (reference: precomputed_noise[i][:, :N],
+    edm/main.py:113-121; layout here is candidate-major)."""
     b = z.shape[0]
     z_rep = jnp.tile(z, (n,) + (1,) * (z.ndim - 1))  # [N*B, ...] candidate-major
     x = backend.init_latents(z_rep)
+    inj = noise if noise is not None else InjectedNoise()
 
     def body(x, i):
-        eps = jax.random.normal(fold_in_path(key, _SALT_STEP, i), x.shape, x.dtype)
+        if inj.step_noise is not None:
+            eps = inj.step_noise[i].reshape(x.shape).astype(x.dtype)
+        else:
+            eps = jax.random.normal(fold_in_path(key, SALT_STEP, i), x.shape, x.dtype)
         aux = backend.base_step(x, i)
         return backend.advance(x, i, aux, eps), None
 

@@ -14,6 +14,12 @@ the EDM reference quirkily reuses the eps-greedy draw for zero_order too,
 see SURVEY.md §2b; we implement the intended method and let callers pass
 explore_eps explicitly for quirk-compat).
 
+External noise injection (the reference's ``precomputed_noise`` dict,
+edm/main.py:723-796) is supported via ``noise=InjectedNoise(...)``: any
+populated field overrides the corresponding keyed draw; injected
+directions are unit-normalized exactly like the reference normalizes
+injected directions (edm/main.py:755-762).
+
 TPU shape: scan over timesteps x scan over K, candidates batched into one
 denoiser call per iteration; argmax on device. The reference's per-process
 ``hash()`` scale seeding (edm/main.py:774-779) is replaced by keyed uniform
@@ -27,14 +33,11 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from diffusion_tts_tpu.search.noise import (
+    SALT_BERN, SALT_DIR, SALT_FRESH, SALT_PIVOT, SALT_SCALE, InjectedNoise,
+)
 from diffusion_tts_tpu.utils.config import SearchParams
 from diffusion_tts_tpu.utils.rng import fold_in_path, unit_normalize
-
-_SALT_PIVOT = 0x21
-_SALT_DIR = 0x22
-_SALT_SCALE = 0x23
-_SALT_BERN = 0x24
-_SALT_FRESH = 0x25
 
 
 class ZeroOrderResult(NamedTuple):
@@ -50,34 +53,50 @@ def zero_order_search(
     *,
     explore_eps: float = 0.0,
     record_noises: bool = False,
+    noise: InjectedNoise | None = None,
 ) -> ZeroOrderResult:
     n, k_iters = params.N, params.K
     lam = params.lambda_ * math.sqrt(math.prod(z.shape[1:]))
     b = z.shape[0]
     x0 = backend.init_latents(z)
     feat_shape = x0.shape[1:]
+    inj = noise if noise is not None else InjectedNoise()
 
     def step_body(x, i):
         aux = backend.base_step(x, i)
-        pivot = jax.random.normal(fold_in_path(key, _SALT_PIVOT, i), x.shape, jnp.float32)
+        if inj.pivots is not None:
+            pivot = inj.pivots[i]
+        else:
+            pivot = jax.random.normal(fold_in_path(key, SALT_PIVOT, i), x.shape, jnp.float32)
 
         def k_body(pivot, k):
-            kd = fold_in_path(key, _SALT_DIR, i, k)
-            dirs = jax.random.normal(kd, (n,) + pivot.shape, jnp.float32)
+            if inj.directions is not None:
+                dirs = inj.directions[i, k]
+            else:
+                dirs = jax.random.normal(
+                    fold_in_path(key, SALT_DIR, i, k), (n,) + pivot.shape, jnp.float32
+                )
             dirs = unit_normalize(dirs.reshape((n * b,) + feat_shape)).reshape(dirs.shape)
-            scales = jax.random.uniform(
-                fold_in_path(key, _SALT_SCALE, i, k), (n, b) + (1,) * len(feat_shape)
-            ) * lam
-            perturbed = pivot[None] + scales * dirs
-            fresh = jax.random.normal(
-                fold_in_path(key, _SALT_FRESH, i, k), (n,) + pivot.shape, jnp.float32
-            )
+            if inj.scales01 is not None:
+                scales01 = inj.scales01[i, k].reshape((n, b) + (1,) * len(feat_shape))
+            else:
+                scales01 = jax.random.uniform(
+                    fold_in_path(key, SALT_SCALE, i, k), (n, b) + (1,) * len(feat_shape)
+                )
+            perturbed = pivot[None] + scales01 * lam * dirs
+            if inj.fresh is not None:
+                fresh = inj.fresh[i, k]
+            else:
+                fresh = jax.random.normal(
+                    fold_in_path(key, SALT_FRESH, i, k), (n,) + pivot.shape, jnp.float32
+                )
             # one Bernoulli per candidate slot, shared across the batch
             # (edm/main.py:751: torch.rand(1) < (1 - eps))
-            explore = (
-                jax.random.uniform(fold_in_path(key, _SALT_BERN, i, k), (n,))
-                < explore_eps
-            ).reshape((n,) + (1,) * (pivot.ndim))
+            if inj.explore01 is not None:
+                bern = inj.explore01[i, k]
+            else:
+                bern = jax.random.uniform(fold_in_path(key, SALT_BERN, i, k), (n,))
+            explore = (bern < explore_eps).reshape((n,) + (1,) * (pivot.ndim))
             cands = jnp.where(explore, fresh, perturbed)
 
             _, images = backend.expand(x, i, aux, cands)
@@ -97,11 +116,13 @@ def zero_order_search(
     return ZeroOrderResult(x=x, best_noises=noises)
 
 
-def eps_greedy_search(backend, z, key, params: SearchParams, *, record_noises=False):
+def eps_greedy_search(backend, z, key, params: SearchParams, *, record_noises=False,
+                      noise: InjectedNoise | None = None):
     """The paper's headline method: zero-order exploitation + eps-prob global
     exploration (edm/main.py:789-795)."""
     return zero_order_search(
-        backend, z, key, params, explore_eps=params.eps, record_noises=record_noises
+        backend, z, key, params, explore_eps=params.eps,
+        record_noises=record_noises, noise=noise,
     )
 
 

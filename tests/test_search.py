@@ -140,3 +140,73 @@ def test_replay_reproduces_search_trajectory():
     final_pivots = res.best_noises[:, -1]  # [steps, B, ...] last-K pivot
     x = replay_trajectory(backend, Z, jnp.asarray(final_pivots))
     np.testing.assert_allclose(np.asarray(x), np.asarray(res.x), rtol=1e-6, atol=1e-6)
+
+
+class TestNoiseInjection:
+    """precomputed_noise injection (edm/main.py:54,723-796): every stochastic
+    draw of a live search can be driven from external arrays. Round-trip
+    proof: search(key2, noise=record_draws(key1)) == search(key1) — any
+    mis-wired field would change the output because key2's internal draws
+    differ."""
+
+    KEY_A = jax.random.key(7)
+    KEY_B = jax.random.key(1234)  # different: internal fallback draws differ
+
+    def test_zero_order_full_injection_roundtrip(self):
+        from diffusion_tts_tpu.search import record_zero_order_draws
+
+        backend = make_backend()
+        ref = run_search("eps_greedy", backend, Z, self.KEY_A, PARAMS)
+        draws = record_zero_order_draws(self.KEY_A, backend.num_steps, PARAMS, Z.shape)
+        inj = run_search("eps_greedy", backend, Z, self.KEY_B, PARAMS, noise=draws)
+        np.testing.assert_allclose(np.asarray(inj.x), np.asarray(ref.x), rtol=1e-6, atol=1e-6)
+        # sanity: without injection, KEY_B gives a different trajectory
+        other = run_search("eps_greedy", backend, Z, self.KEY_B, PARAMS)
+        assert not np.allclose(np.asarray(other.x), np.asarray(ref.x))
+
+    def test_zero_order_partial_injection_pivots_only(self):
+        """Per-field fallback (reference: missing dict keys fall back to
+        randn, edm/main.py:734-744): injecting only pivots changes the run
+        but stays deterministic."""
+        from diffusion_tts_tpu.search import InjectedNoise, record_zero_order_draws
+
+        backend = make_backend()
+        draws = record_zero_order_draws(self.KEY_A, backend.num_steps, PARAMS, Z.shape)
+        only_pivots = InjectedNoise(pivots=draws.pivots)
+        r1 = run_search("zero_order", backend, Z, self.KEY_B, PARAMS, noise=only_pivots)
+        r2 = run_search("zero_order", backend, Z, self.KEY_B, PARAMS, noise=only_pivots)
+        np.testing.assert_array_equal(np.asarray(r1.x), np.asarray(r2.x))
+        r3 = run_search("zero_order", backend, Z, self.KEY_B, PARAMS)
+        assert not np.allclose(np.asarray(r1.x), np.asarray(r3.x))
+
+    def test_naive_injection_roundtrip(self):
+        from diffusion_tts_tpu.search import record_step_draws
+
+        backend = make_backend()
+        ref = run_search("naive", backend, Z, self.KEY_A)
+        draws = record_step_draws(self.KEY_A, backend.num_steps, Z.shape)
+        inj = run_search("naive", backend, Z, self.KEY_B, noise=draws)
+        np.testing.assert_allclose(np.asarray(inj.x), np.asarray(ref.x), rtol=1e-6, atol=1e-6)
+
+    def test_rejection_injection_roundtrip(self):
+        from diffusion_tts_tpu.search import record_step_draws
+
+        backend = make_backend()
+        ref = run_search("rejection", backend, Z, self.KEY_A, PARAMS)
+        draws = record_step_draws(
+            self.KEY_A, backend.num_steps, (PARAMS.N * Z.shape[0],) + Z.shape[1:])
+        inj = run_search("rejection", backend, Z, self.KEY_B, PARAMS, noise=draws)
+        np.testing.assert_allclose(np.asarray(inj.x), np.asarray(ref.x), rtol=1e-6, atol=1e-6)
+
+    def test_mcts_table_injection_roundtrip(self):
+        """With branching factor 1 the child pick is forced, so the noise
+        table is MCTS's only stochastic input: injecting key A's table under
+        key B must reproduce key A's run."""
+        from diffusion_tts_tpu.search import record_mcts_table
+
+        backend = make_backend()
+        p = SearchParams(N=1, K=2, B=2, S=2)
+        ref = run_search("mcts", backend, Z, self.KEY_A, p)
+        tab = record_mcts_table(self.KEY_A, backend.num_steps, Z.shape[0], p.N, Z.shape[1:])
+        inj = run_search("mcts", backend, Z, self.KEY_B, p, noise=tab)
+        np.testing.assert_allclose(np.asarray(inj.x), np.asarray(ref.x), rtol=1e-6, atol=1e-6)
