@@ -135,6 +135,10 @@ def training_loop(
             now = time.time()
             collector.report0("Timing/sec_per_kimg",
                               (now - tick_start_time) / max((nimg - tick_start_nimg) / 1000, 1e-8))
+            # cross-process moment reduction per tick (the reference's
+            # Collector.update() all_reduce, training_stats.py:233-266;
+            # called at training_loop.py:196). Single-process: no-op.
+            collector.sync()
             print0(
                 f"tick {tick:<5d} kimg {nimg / 1000:<9.1f} "
                 f"loss {collector.mean('Loss/loss'):<8.4f} "

@@ -226,3 +226,33 @@ def test_training_loop_transfer_and_resume(tmp_path):
         resume_state_path=os.path.join(run1, state_dump[0]), max_ticks=1,
     )
     assert int(state3.nimg) > int(state1.nimg)
+
+
+def test_stats_collector_sync_and_report0():
+    """Cross-process stats reduction (reference training_stats.py:233-266).
+    Single-process: sync() must be an exact no-op on the moments; report0
+    must register names on every rank (rank 0 is the only contributor)."""
+    from diffusion_tts_tpu.utils.stats import Collector
+
+    c = Collector()
+    c.report("Loss/loss", [1.0, 2.0, 3.0])
+    c.report0("Timing/sec_per_kimg", 7.0)
+    before = {k: v.copy() for k, v in c._moments.items()}
+    c.sync()  # jax.process_count() == 1 -> no-op
+    assert set(c._moments) == set(before)
+    for k in before:
+        np.testing.assert_array_equal(c._moments[k], before[k])
+    assert c.mean("Loss/loss") == 2.0
+    assert c.mean("Timing/sec_per_kimg") == 7.0
+
+
+def test_distributed_init_noop_without_env(monkeypatch):
+    """distributed_init is a guarded no-op on single-host launches: no
+    coordinator env vars -> returns False without touching jax.distributed."""
+    import diffusion_tts_tpu.parallel.distributed as dist
+
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    monkeypatch.delenv("DTTS_MULTIHOST", raising=False)
+    monkeypatch.setattr(dist, "_initialized", False)
+    assert dist.distributed_init() is False
+    assert dist.is_main_process()

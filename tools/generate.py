@@ -53,6 +53,9 @@ def main(argv=None):
     p.add_argument("--churn", type=float, default=0.0, help="S_churn (generate.py default 0)")
     args = p.parse_args(argv)
 
+    from diffusion_tts_tpu.parallel.distributed import distributed_init
+
+    distributed_init()  # multi-host launch support (reference generate.py:254)
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from diffusion_tts_tpu.backends.edm_entry import NET_CONFIGS, load_network

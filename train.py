@@ -71,6 +71,11 @@ def main(argv=None):
     p.add_argument("-n", "--dry-run", action="store_true")
     args = p.parse_args(argv)
 
+    # multi-host process group BEFORE any backend init (the reference's
+    # dist.init() at train.py:81; no-op unless coordinator env vars present)
+    from diffusion_tts_tpu.parallel.distributed import distributed_init
+
+    distributed_init()
     from diffusion_tts_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
