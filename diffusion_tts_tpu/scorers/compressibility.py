@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import functools
 import io
+import warnings
 
 import jax
 import jax.numpy as jnp
@@ -150,16 +151,35 @@ class CompressibilityScorer:
         self.mode = mode
         # decide the in-jit scoring strategy now, outside any trace
         self._use_callback = mode == "jpeg" and _callbacks_supported()
+        self._warned_proxy = False
         # affine bits->bytes calibration (least-squares on 64x64 images of
         # varying smoothness at quality 80, R^2=0.91; the intercept is the
         # JPEG header + huffman-table overhead)
         self.proxy_bytes_per_bit = proxy_bytes_per_bit
         self.proxy_header_bytes = proxy_header_bytes
 
+    @property
+    def final_score_is_exact(self) -> bool:
+        """False when mode="jpeg" must degrade to the DCT proxy inside jit
+        (callback-less backend). run_search checks this and re-scores the
+        FINAL images on the exact host path so the returned score is always
+        real JPEG bytes (reference semantics, edm/scorers.py:207-244)."""
+        return self.mode != "jpeg" or self._use_callback
+
     def __call__(self, images01: jax.Array, cond=None, timesteps=None) -> jax.Array:
         concrete = not isinstance(images01, jax.core.Tracer)
         use_exact = self.mode == "jpeg" and (concrete or self._use_callback)
         if not use_exact:
+            if self.mode == "jpeg" and not self._warned_proxy:
+                self._warned_proxy = True
+                warnings.warn(
+                    "CompressibilityScorer(mode='jpeg') is being traced on a "
+                    "backend without host callbacks: in-search scoring uses "
+                    "the on-device DCT proxy. run_search re-scores the FINAL "
+                    "images with the exact JPEG encoder on the host.",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
             # in-loop proxy: either mode="dct", or we are inside jit on a
             # backend without host callbacks (the axon tunnel) where exact
             # JPEG cannot run — the proxy scores the search and callers can

@@ -93,6 +93,15 @@ def run_search(
 
     fn = jax.jit(go, static_argnums=()) if jit else go
     x, images, score, noises = fn(z, key, backend_args if factory_mode else None, noise)
+
+    # Exact-final-score guarantee: when the scorer had to degrade to an
+    # on-device proxy inside the compiled search (CompressibilityScorer on a
+    # callback-less backend), re-score the FINAL images on the host path so
+    # the returned score is always the real reward (edm/scorers.py:207-244).
+    be_out = backend(backend_args) if factory_mode else backend
+    scorer = getattr(be_out, "scorer", None)
+    if scorer is not None and not getattr(scorer, "final_score_is_exact", True):
+        score = be_out.score(jax.device_get(images))
     return SearchResult(x=x, images=images, score=score, best_noises=noises)
 
 

@@ -112,3 +112,37 @@ def test_clip_scorer_tiny():
     np.testing.assert_allclose(np.asarray(s), np.asarray(s2), rtol=2e-5, atol=2e-6)
     # no cond -> zeros (reference sd/scorers.py:183-186)
     np.testing.assert_array_equal(np.asarray(scorer(imgs, None)), np.zeros(2))
+
+
+def test_exact_jpeg_guarantee_on_callbackless_backend():
+    """When mode='jpeg' degrades to the DCT proxy inside jit (simulated
+    callback-less backend), run_search must (a) warn once and (b) return a
+    FINAL score equal to the exact host JPEG path (VERDICT r1 weak #4)."""
+    import warnings
+
+    from diffusion_tts_tpu.samplers.edm import EDMHeunSampler
+    from diffusion_tts_tpu.search import EDMSearchBackend, run_search
+
+    def analytic_denoise(x, sigma):
+        s = jnp.reshape(sigma, (-1,) + (1,) * (x.ndim - 1)).astype(jnp.float32)
+        return x / (1.0 + s**2)
+
+    scorer = CompressibilityScorer(max_size=800.0, mode="jpeg")
+    scorer._use_callback = False  # simulate the axon tunnel (no host callbacks)
+    scorer._warned_proxy = False
+    sampler = EDMHeunSampler(denoise=analytic_denoise, num_steps=4,
+                             sigma_min=0.002, sigma_max=10.0, S_churn=10.0,
+                             S_min=0.01, S_max=50.0)
+    backend = EDMSearchBackend(sampler=sampler, scorer=scorer)
+    z = jax.random.normal(jax.random.key(3), (2, 16, 16, 3))
+
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        res = run_search("eps_greedy", backend, z, jax.random.key(0))
+    assert any("DCT proxy" in str(w.message) for w in rec), "proxy warning missing"
+
+    imgs = np.asarray(res.images)
+    arr = np.asarray(np.round(imgs * 255.0), np.uint8)
+    expected = 1.0 - np.clip(
+        (_host_jpeg_sizes(arr, 80) - 0.0) / (800.0 - 0.0), 0.0, 1.0)
+    np.testing.assert_allclose(np.asarray(res.score), expected, rtol=0, atol=1e-6)
