@@ -59,6 +59,30 @@ def _iter_zip(path):
             yield img, labels.get(n)
 
 
+def _iter_lmdb(path):
+    """LMDB image database (edm/dataset_tool.py:113-139): values are encoded
+    image bytes; cv2 decode (BGR->RGB) with PIL fallback, unlabeled."""
+    import io as _io
+
+    from diffusion_tts_tpu.utils.lmdb_io import iterate_lmdb
+
+    for _key, value in iterate_lmdb(path):
+        img = None
+        try:
+            import cv2
+
+            img = cv2.imdecode(np.frombuffer(value, dtype=np.uint8), 1)
+            if img is not None:
+                img = img[:, :, ::-1]  # BGR -> RGB
+        except ImportError:
+            pass
+        if img is None:
+            from PIL import Image
+
+            img = np.asarray(Image.open(_io.BytesIO(value)).convert("RGB"))
+        yield img, None
+
+
 def _iter_cifar10(path):
     """cifar-10-python.tar.gz (dataset_tool.py:139-159)."""
     with tarfile.open(path) as tf:
@@ -115,7 +139,13 @@ def convert(source: str, dest: str, resolution: str | None = None,
         a, _, b = resolution.partition("x")
         res = (int(a), int(b or a))
 
-    if os.path.isdir(source):
+    if os.path.isdir(source) and (
+        os.path.exists(os.path.join(source, "data.mdb"))
+    ):
+        it = _iter_lmdb(source)
+    elif source.endswith(".mdb") or source.endswith(".lmdb"):
+        it = _iter_lmdb(source)
+    elif os.path.isdir(source):
         it = _iter_folder(source)
     elif source.endswith(".zip"):
         it = _iter_zip(source)

@@ -122,3 +122,62 @@ def test_misc_utils(capsys):
 
     with pytest.raises(FileNotFoundError):
         misc.open_file_or_url("https://example.com/nope.pkl")
+
+
+class TestLMDB:
+    """Pure-Python LMDB round-trip (reference edm/dataset_tool.py:113-139;
+    the lmdb package is not a baked dependency, so reader and fixture writer
+    are both built-in — utils/lmdb_io.py)."""
+
+    def test_roundtrip_small_values(self, tmp_path):
+        from diffusion_tts_tpu.utils.lmdb_io import iterate_lmdb, lmdb_entries, write_lmdb
+
+        items = [(f"k{i:04d}".encode(), bytes([i % 256]) * (10 + i)) for i in range(20)]
+        db = write_lmdb(str(tmp_path / "db"), items)
+        assert lmdb_entries(db) == 20
+        out = list(iterate_lmdb(db))
+        assert out == sorted(items)
+
+    def test_roundtrip_overflow_and_multileaf(self, tmp_path):
+        """Values larger than half a page go to overflow page runs; enough
+        entries to force multiple leaves and a branch root."""
+        import numpy as np
+
+        from diffusion_tts_tpu.utils.lmdb_io import iterate_lmdb, write_lmdb
+
+        rng = np.random.default_rng(0)
+        items = []
+        for i in range(40):
+            size = 5000 if i % 7 == 0 else 150  # mix overflow + inline
+            items.append((f"key{i:05d}".encode(), rng.integers(0, 256, size).astype("uint8").tobytes()))
+        db = write_lmdb(str(tmp_path / "db2"), items)
+        out = list(iterate_lmdb(db))
+        assert out == sorted(items)
+
+    def test_dataset_tool_converts_lmdb(self, tmp_path):
+        """LMDB of encoded PNGs -> training zip (the reference pipeline)."""
+        import io
+        import zipfile
+
+        import numpy as np
+        from PIL import Image
+
+        from diffusion_tts_tpu.utils.lmdb_io import write_lmdb
+        import dataset_tool
+
+        rng = np.random.default_rng(1)
+        items = []
+        for i in range(4):
+            img = rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)
+            buf = io.BytesIO()
+            Image.fromarray(img).save(buf, format="PNG")
+            items.append((f"{i:08d}".encode(), buf.getvalue()))
+        db = write_lmdb(str(tmp_path / "imgdb"), items)
+        dest = str(tmp_path / "out.zip")
+        n = dataset_tool.convert(db, dest, resolution="8x8")
+        assert n == 4
+        with zipfile.ZipFile(dest) as zf:
+            pngs = [p for p in zf.namelist() if p.endswith(".png")]
+            assert len(pngs) == 4
+            with zf.open(pngs[0]) as f:
+                assert np.asarray(Image.open(f)).shape == (8, 8, 3)
