@@ -81,3 +81,13 @@ def test_dmap_analysis(tmp_path):
     written = dmap.create_visualizations(path, str(tmp_path / "viz"))
     assert any(w.endswith("noise_norms.npy") for w in written)
     assert any(w.endswith("diffusion_map.npy") for w in written)
+    # the reference's figure set (edm/dmap.py:49-553): violins, diffusion-map
+    # scatter, per-timestep t-SNE with centroid arrows, and the animation
+    # (GIF via pillow, or the static keyframe-grid fallback)
+    assert any(w.endswith("norm_violins.png") for w in written)
+    assert any(w.endswith("diffusion_map.png") for w in written)
+    assert any(w.endswith("tsne_visualization.png") for w in written)
+    assert any(w.endswith("tsne_animation.gif") or w.endswith("tsne_keyframes.png")
+               for w in written)
+    for w in written:
+        assert os.path.getsize(w) > 0
