@@ -1,8 +1,10 @@
 """Golden-slice regression pins (the vendored suite's expected_slice
 pattern, test_stable_diffusion.py:219-224): fixed-seed end-to-end outputs
 through the tiny EDM backend must stay bit-stable across refactors. These
-values were captured on CPU float32; any change to sampler math, RNG
-addressing, or the quantization grid will move them.
+values were captured on CPU float32 FROM THIS REPO'S OWN OUTPUTS — they are
+self-regression pins, NOT reference parity (reference parity lives in the
+torch-golden tests, tests/test_*_parity.py). Any change to sampler math,
+RNG addressing, or the quantization grid will move them.
 """
 import jax
 import jax.numpy as jnp
