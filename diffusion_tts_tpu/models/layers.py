@@ -214,6 +214,16 @@ class EDMGroupNorm(nn.Module):
         groups = min(self.num_groups, c // self.min_channels_per_group)
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
+
+        from diffusion_tts_tpu.ops.pallas.groupnorm import (
+            group_norm_silu,
+            pallas_gn_eligible,
+        )
+
+        if x.ndim == 4 and pallas_gn_eligible(x):
+            return group_norm_silu(
+                x, scale, bias, groups=groups, eps=self.eps, apply_silu=False
+            )
         orig_dtype = x.dtype
         xf = x.astype(jnp.float32)
         shape = xf.shape
@@ -264,6 +274,54 @@ class EDMGroupNormSiLU(nn.Module):
         xf = ((xf - mean) * jax.lax.rsqrt(var + self.eps)).reshape(shape)
         out = xf * scale.astype(jnp.float32) + bias.astype(jnp.float32)
         return nn.silu(out).astype(orig_dtype)
+
+
+class EDMAdaptiveGroupNormSiLU(nn.Module):
+    """AdaGN: silu(shift + GN(x) * (scale + 1)) — the ADM UNetBlock norm1
+    pattern (edm/training/networks.py:172-174) with per-sample timestep
+    modulation [B, C]. Parameter structure matches EDMGroupNorm (checkpoint
+    compatible). On TPU the GN affine and the modulation fold into effective
+    per-(batch, channel) scale/bias so GN + modulate + SiLU is ONE fused
+    Pallas kernel pass (ops/pallas/groupnorm.py)."""
+
+    num_groups: int = 32
+    min_channels_per_group: int = 4
+    eps: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, mod_scale: jax.Array, mod_shift: jax.Array) -> jax.Array:
+        c = x.shape[-1]
+        groups = min(self.num_groups, c // self.min_channels_per_group)
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+
+        from diffusion_tts_tpu.ops.pallas.groupnorm import (
+            group_norm_silu,
+            pallas_gn_eligible,
+        )
+
+        if x.ndim == 4 and pallas_gn_eligible(x):
+            ms = mod_scale.astype(jnp.float32) + 1.0  # [B, C]
+            eff_scale = scale.astype(jnp.float32)[None, :] * ms
+            eff_bias = bias.astype(jnp.float32)[None, :] * ms + mod_shift.astype(jnp.float32)
+            return group_norm_silu(
+                x, eff_scale, eff_bias, groups=groups, eps=self.eps, apply_silu=True
+            )
+        # Unfused fallback: GN (fp32 stats) to x.dtype, then modulate + SiLU
+        # in x.dtype — the exact op order of the pre-fusion implementation.
+        orig_dtype = x.dtype
+        xf = x.astype(jnp.float32)
+        shape = xf.shape
+        xf = xf.reshape(shape[:-1] + (groups, c // groups))
+        axes = tuple(range(1, xf.ndim - 2)) + (xf.ndim - 1,)
+        mean = jnp.mean(xf, axis=axes, keepdims=True)
+        var = jnp.var(xf, axis=axes, keepdims=True)
+        xf = ((xf - mean) * jax.lax.rsqrt(var + self.eps)).reshape(shape)
+        gn = (xf * scale.astype(jnp.float32) + bias.astype(jnp.float32)).astype(orig_dtype)
+        ms = mod_scale[:, None, None, :].astype(orig_dtype)
+        sh = mod_shift[:, None, None, :].astype(orig_dtype)
+        return nn.silu(sh + gn * (ms + 1.0))
 
 
 class PositionalEmbedding(nn.Module):
@@ -353,11 +411,13 @@ class UNetBlock(nn.Module):
 
         affine_out = self.out_channels * (2 if self.adaptive_scale else 1)
         params = EDMLinear(affine_out, dtype=self.dtype, name="affine", **init)(emb)
-        params = params[:, None, None, :].astype(x.dtype)
         if self.adaptive_scale:
-            scale, shift = jnp.split(params, 2, axis=-1)
-            x = nn.silu(shift + EDMGroupNorm(eps=self.eps, dtype=self.dtype, name="norm1")(x) * (scale + 1.0))
+            scale, shift = jnp.split(params.astype(x.dtype), 2, axis=-1)  # [B, C]
+            x = EDMAdaptiveGroupNormSiLU(eps=self.eps, dtype=self.dtype, name="norm1")(
+                x, scale, shift
+            )
         else:
+            params = params[:, None, None, :].astype(x.dtype)
             x = nn.silu(EDMGroupNorm(eps=self.eps, dtype=self.dtype, name="norm1")(x + params))
 
         if self.dropout > 0.0:
@@ -396,6 +456,7 @@ __all__ = [
     "EDMConv",
     "EDMGroupNorm",
     "EDMGroupNormSiLU",
+    "EDMAdaptiveGroupNormSiLU",
     "PositionalEmbedding",
     "FourierEmbedding",
     "UNetBlock",

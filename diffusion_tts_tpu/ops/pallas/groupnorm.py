@@ -61,6 +61,8 @@ def _gn_kernel(x_ref, scale_ref, bias_ref, o_ref, colsum, colsumsq, stats,
     @pl.when(ph == 1)
     def _normalize():
         out = (x2d - stats[0:1, :]) * stats[1:2, :]
+        # scale/bias are per-(batch, channel) [1, C] blocks: the wrapper
+        # folds the GN affine and any per-sample (AdaGN) modulation into them.
         out = out * scale_ref[:].astype(jnp.float32) + bias_ref[:].astype(jnp.float32)
         if apply_silu:
             out = out * jax.nn.sigmoid(out)
@@ -80,11 +82,21 @@ def group_norm_silu(
     x: jax.Array, scale: jax.Array, bias: jax.Array, *, groups: int,
     eps: float = 1e-5, apply_silu: bool = True, interpret: bool = False,
 ) -> jax.Array:
-    """x [B,H,W,C] NHWC; scale/bias [C]. Returns GN(x)*scale+bias (+SiLU)."""
+    """x [B,H,W,C] NHWC; scale/bias [C] or per-sample [B, C].
+
+    Returns (GN(x)*scale+bias) (+SiLU). The per-sample form is how AdaGN
+    (UNetBlock norm1, edm/training/networks.py:172-174) fuses: the wrapper
+    folds the timestep-affine modulation into effective [B, C] scale/bias so
+    GN + modulation + SiLU is one HBM round-trip.
+    """
     b, h, w, c = x.shape
     assert c % groups == 0
     cg = c // groups
     hb = _pick_hblock(h, w, c)
+    if scale.ndim == 1:
+        scale = jnp.broadcast_to(scale[None, :], (b, c))
+    if bias.ndim == 1:
+        bias = jnp.broadcast_to(bias[None, :], (b, c))
     return pl.pallas_call(
         functools.partial(
             _gn_kernel, cg=cg, eps=eps, apply_silu=apply_silu, total_hw=h * w
@@ -93,8 +105,8 @@ def group_norm_silu(
         grid=(b, 2, h // hb),
         in_specs=[
             pl.BlockSpec((1, hb, w, c), lambda i, p, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((c,), lambda i, p, j: (0,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((c,), lambda i, p, j: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i, p, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i, p, j: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, hb, w, c), lambda i, p, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
         scratch_shapes=[
@@ -111,6 +123,10 @@ def group_norm_silu(
 
 
 def pallas_gn_eligible(x: jax.Array) -> bool:
+    import os
+
+    if os.environ.get("DTTS_NO_PALLAS_GN"):  # A/B kill-switch (tools/perf_probe.py)
+        return False
     if jax.default_backend() not in ("tpu", "axon"):
         return False
     _, h, w, c = x.shape

@@ -33,3 +33,52 @@ def test_group_norm_silu_matches(dtype, silu):
     np.testing.assert_allclose(
         np.asarray(got, np.float32), np.asarray(want, np.float32), atol=tol, rtol=tol
     )
+
+
+def test_group_norm_per_sample_modulation():
+    """[B, C] scale/bias (the fused-AdaGN form, UNetBlock norm1)."""
+    key = jax.random.key(3)
+    b, c = 3, 128
+    x = jax.random.normal(key, (b, 4, 4, c), jnp.float32) * 2 - 0.5
+    scale = jax.random.normal(jax.random.fold_in(key, 1), (b, c))
+    bias = jax.random.normal(jax.random.fold_in(key, 2), (b, c))
+    got = group_norm_silu(x, scale, bias, groups=16, eps=1e-5, apply_silu=True,
+                          interpret=True)
+    want_rows = [
+        ref_gn(x[i:i + 1], scale[i], bias[i], 16, 1e-5, True) for i in range(b)
+    ]
+    np.testing.assert_allclose(
+        np.asarray(got), np.concatenate([np.asarray(w) for w in want_rows]),
+        atol=1e-5, rtol=1e-5,
+    )
+
+
+def test_adaptive_group_norm_module_fused_equals_fallback():
+    """EDMAdaptiveGroupNormSiLU: fused (interpret) path == unfused fallback."""
+    from unittest import mock
+
+    from diffusion_tts_tpu.models.layers import EDMAdaptiveGroupNormSiLU
+
+    key = jax.random.key(4)
+    b, c = 2, 128
+    x = jax.random.normal(key, (b, 8, 8, c), jnp.float32)
+    mod_scale = 0.3 * jax.random.normal(jax.random.fold_in(key, 1), (b, c))
+    mod_shift = 0.3 * jax.random.normal(jax.random.fold_in(key, 2), (b, c))
+    mod = EDMAdaptiveGroupNormSiLU(eps=1e-5)
+    variables = mod.init(jax.random.key(0), x, mod_scale, mod_shift)
+    # randomize GN affine so the fold is actually exercised
+    variables = {"params": {
+        "scale": jax.random.normal(jax.random.fold_in(key, 5), (c,)),
+        "bias": jax.random.normal(jax.random.fold_in(key, 6), (c,)),
+    }}
+    fallback = mod.apply(variables, x, mod_scale, mod_shift)
+    with mock.patch(
+        "diffusion_tts_tpu.ops.pallas.groupnorm.pallas_gn_eligible", return_value=True
+    ), mock.patch(
+        "diffusion_tts_tpu.ops.pallas.groupnorm.group_norm_silu",
+        lambda *a, **k: group_norm_silu(*a, **{**k, "interpret": True}),
+    ):
+        fused = mod.apply(variables, x, mod_scale, mod_shift)
+    np.testing.assert_allclose(
+        np.asarray(fused), np.asarray(fallback), atol=1e-5, rtol=1e-5
+    )
