@@ -61,9 +61,9 @@ def _gn_kernel(x_ref, scale_ref, bias_ref, o_ref, colsum, colsumsq, stats,
     @pl.when(ph == 1)
     def _normalize():
         out = (x2d - stats[0:1, :]) * stats[1:2, :]
-        # scale/bias are per-(batch, channel) [1, C] blocks: the wrapper
+        # scale/bias are per-(batch, channel) [1, 1, C] blocks: the wrapper
         # folds the GN affine and any per-sample (AdaGN) modulation into them.
-        out = out * scale_ref[:].astype(jnp.float32) + bias_ref[:].astype(jnp.float32)
+        out = out * scale_ref[0].astype(jnp.float32) + bias_ref[0].astype(jnp.float32)
         if apply_silu:
             out = out * jax.nn.sigmoid(out)
         o_ref[0] = out.reshape(hbs, w, c).astype(o_ref.dtype)
@@ -93,10 +93,16 @@ def group_norm_silu(
     assert c % groups == 0
     cg = c // groups
     hb = _pick_hblock(h, w, c)
+    # [B, 1, C] so the (1, 1, C) block's trailing two dims match Mosaic's
+    # (sublane=full-dim, lane%128) tiling rules for any batch size.
     if scale.ndim == 1:
-        scale = jnp.broadcast_to(scale[None, :], (b, c))
+        scale = jnp.broadcast_to(scale[None, None, :], (b, 1, c))
+    else:
+        scale = scale.reshape(b, 1, c)
     if bias.ndim == 1:
-        bias = jnp.broadcast_to(bias[None, :], (b, c))
+        bias = jnp.broadcast_to(bias[None, None, :], (b, 1, c))
+    else:
+        bias = bias.reshape(b, 1, c)
     return pl.pallas_call(
         functools.partial(
             _gn_kernel, cg=cg, eps=eps, apply_silu=apply_silu, total_hw=h * w
@@ -105,8 +111,8 @@ def group_norm_silu(
         grid=(b, 2, h // hb),
         in_specs=[
             pl.BlockSpec((1, hb, w, c), lambda i, p, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda i, p, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda i, p, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda i, p, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda i, p, j: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, hb, w, c), lambda i, p, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
         scratch_shapes=[
@@ -130,7 +136,11 @@ def pallas_gn_eligible(x: jax.Array) -> bool:
     if jax.default_backend() not in ("tpu", "axon"):
         return False
     _, h, w, c = x.shape
-    return c % 128 == 0
+    # The channel block always spans the full lane dim, which Mosaic allows
+    # for any size ("equal to the overall array" clause) — but lane tiles are
+    # 128 wide, so require enough channels that padding waste stays small
+    # (192 -> 1.5 tiles covers the ADM res-64 level, the HBM-heaviest GNs).
+    return c % 64 == 0 and c >= 128
 
 
 __all__ = ["group_norm_silu", "pallas_gn_eligible"]

@@ -202,35 +202,48 @@ def mcts_search(
         return node, path, plen
 
     def timestep_body(tree: _Tree, i: jax.Array) -> tuple[_Tree, None]:
-        # (1) root expansion if unexpanded (edm/main.py:464-514)
-        need = tree.n_children[b_idx, tree.root] == 0
-        tree = expand_nodes(tree, tree.root, need)
-
-        # (2) phases of rollouts
+        # Root expansion (edm/main.py:464-514) is pipelined into the rollout
+        # scan: iteration q expands the node selected at iteration q-1 (the
+        # root at q=0 when unexpanded), so root- and leaf-expansion share ONE
+        # expand_nodes instantiation — the compile-heavy subgraph (two Heun
+        # UNet forwards) appears once in the timestep body instead of twice.
+        # Op ordering is identical to the unpipelined form: each selection
+        # still runs after the previous rollout's leaf expansion, and
+        # backprop still happens at phase end (stale-stats semantics).
         def phase_body(tree: _Tree, phase: jax.Array) -> tuple[_Tree, None]:
-            def rollout_body(carry, r):
-                tree = carry
-                leaf, path, plen = select_path(tree)
-                d_leaf = tree.depth[b_idx, leaf]
-                do_expand = d_leaf < num_steps - 1
+            def iter_body(carry, q):
+                tree, pending, pend_mask, leaf, path, plen = carry
                 first_child = tree.count  # ids of the children about to be added
-                tree = expand_nodes(tree, leaf, do_expand)
+                tree = expand_nodes(tree, pending, pend_mask)
+                # complete rollout q-1 (no-op garbage at q=0, sliced off below)
                 pick = jax.random.randint(
-                    fold_in_path(key, _SALT_PICK, i, phase, r), (bsz,), 0, b_exp
+                    fold_in_path(key, _SALT_PICK, i, phase, q - 1), (bsz,), 0, b_exp
                 )
-                picked = first_child + pick
-                node = jnp.where(do_expand, picked, leaf)
-                path = path.at[b_idx, jnp.where(do_expand, plen, max_path - 1)].set(
-                    jnp.where(do_expand, node, path[:, max_path - 1])
+                was_leaf_expand = pend_mask & (q > 0)
+                node = jnp.where(was_leaf_expand, first_child + pick, leaf)
+                path = path.at[b_idx, jnp.where(was_leaf_expand, plen, max_path - 1)].set(
+                    jnp.where(was_leaf_expand, node, path[:, max_path - 1])
                 )
-                plen = plen + do_expand.astype(jnp.int32)
+                plen = plen + was_leaf_expand.astype(jnp.int32)
                 sim_x = tree.states[b_idx, node]
                 sim_d = tree.depth[b_idx, node]
-                return tree, (sim_x, sim_d, path)
+                out = (sim_x, sim_d, path)
+                # select the next leaf to expand (discarded at q=rollout_batch)
+                leaf_n, path_n, plen_n = select_path(tree)
+                do_expand = tree.depth[b_idx, leaf_n] < num_steps - 1
+                return (tree, leaf_n, do_expand, leaf_n, path_n, plen_n), out
 
-            tree, (sim_x, sim_d, paths) = jax.lax.scan(
-                rollout_body, tree, jnp.arange(rollout_batch, dtype=jnp.int32)
+            need_root = (tree.n_children[b_idx, tree.root] == 0) & (phase == 0)
+            carry0 = (
+                tree, tree.root, need_root, tree.root,
+                jnp.full((bsz, max_path), -1, jnp.int32).at[:, 0].set(tree.root),
+                jnp.ones((bsz,), jnp.int32),
             )
+            (tree, *_), (sim_x, sim_d, paths) = jax.lax.scan(
+                iter_body, carry0, jnp.arange(rollout_batch + 1, dtype=jnp.int32)
+            )
+            # drop the q=0 pipeline-fill slot (root expansion, no rollout)
+            sim_x, sim_d, paths = sim_x[1:], sim_d[1:], paths[1:]
             # batched zero-noise simulations (edm/main.py:616-645)
             r = rollout_batch
             sim_x_flat = sim_x.reshape((r * bsz,) + feat_shape)

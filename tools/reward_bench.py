@@ -33,12 +33,14 @@ def main(argv=None):
     ap.add_argument("--arch", default="tiny")
     ap.add_argument("--weights", default=None)
     ap.add_argument("--scorer", default="brightness",
-                    choices=["brightness", "compressibility"])
+                    choices=["brightness", "compressibility", "compressibility_dct"])
     ap.add_argument("--steps", type=int, default=18)
     ap.add_argument("--N", type=int, default=4)
     ap.add_argument("--K", type=int, default=5)
     ap.add_argument("--B", type=int, default=2)
     ap.add_argument("--S", type=int, default=4)
+    ap.add_argument("--eps", type=float, default=0.4)
+    ap.add_argument("--lambda_", type=float, default=0.15)
     ap.add_argument("--seeds", default="0,1")
     ap.add_argument("--methods", default="naive,rejection,beam,zero_order,eps_greedy,mcts")
     ap.add_argument("--json", default=None)
@@ -61,9 +63,17 @@ def main(argv=None):
     res, ch, label_dim = cfg["img_resolution"], cfg["img_channels"], cfg["label_dim"]
     seeds = [int(s) for s in args.seeds.split(",")]
     b = len(seeds)
-    scorer = (BrightnessScorer() if args.scorer == "brightness"
-              else CompressibilityScorer(mode="dct"))
-    params = SearchParams(N=args.N, K=args.K, B=args.B, S=args.S)
+    if args.scorer == "brightness":
+        scorer = BrightnessScorer()
+    elif args.scorer == "compressibility":
+        # mode="jpeg": the final reported score is always the EXACT byte
+        # count (run_search re-scores finals on the host when the in-loop
+        # path had to fall back to the DCT proxy; edm/scorers.py:207-244).
+        scorer = CompressibilityScorer(mode="jpeg")
+    else:
+        scorer = CompressibilityScorer(mode="dct")
+    params = SearchParams(N=args.N, K=args.K, B=args.B, S=args.S,
+                          eps=args.eps, lambda_=args.lambda_)
 
     labels = (jnp.eye(label_dim)[jnp.asarray(seeds) % label_dim]
               if label_dim else None)
@@ -92,20 +102,34 @@ def main(argv=None):
                        backend_args=variables)
         r.score.block_until_ready()
         wall = time.perf_counter() - t0
-        reward = float(r.score.mean())
+        per_seed = np.asarray(r.score, np.float64)
+        reward = float(per_seed.mean())
         nfe = nfe_count(method, args.steps, params, backend="edm")
         if method == "naive":
             base_reward = reward
         rows.append(dict(
-            method=method, reward=round(reward, 5), nfe_per_sample=nfe,
+            method=method, reward=round(reward, 5),
+            reward_std=round(float(per_seed.std()), 5),
+            per_seed=[round(float(v), 5) for v in per_seed],
+            nfe_per_sample=nfe,
             wallclock_s=round(wall, 2),
             reward_gain_vs_naive=(round((reward - base_reward) / max(abs(base_reward), 1e-9), 4)
                                   if base_reward is not None else None),
         ))
         print(f"{method:11s} reward {reward:.5f}  NFE {nfe:6d}  wall {wall:7.2f}s")
     if args.json:
+        meta = dict(
+            config=vars(args),
+            weights=args.weights or "RANDOM-INIT (no pretrained weights in this environment)",
+            # mode="jpeg" finals are exact even when the in-loop score had to
+            # use the on-device DCT proxy (run_search host re-score).
+            final_score_exact=args.scorer != "compressibility_dct",
+            in_loop_proxy=(args.scorer == "compressibility"
+                           and not getattr(scorer, "final_score_is_exact", True)),
+            device=str(jax.devices()[0].device_kind),
+        )
         with open(args.json, "w") as f:
-            json.dump(dict(config=vars(args), rows=rows), f, indent=2)
+            json.dump(dict(**meta, rows=rows), f, indent=2)
         print(f"wrote {args.json}")
 
 
