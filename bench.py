@@ -60,7 +60,11 @@ def main():
     enable_compilation_cache()
     on_tpu = jax.default_backend() != "cpu"
     net, res, label_dim = ge._flagship(tiny=not on_tpu)
-    batch, n_cand = (1, 4) if on_tpu else (1, 2)
+    # B=2 samples x N=8 candidates: the paper-default sample batch (B=2,
+    # edm/main.py:35-43) at the top of the VERDICT-recommended candidate
+    # range — 16 images/step fills the MXU where the reference's per-sample
+    # loop (edm/main.py:800-809) never exceeds N=4 images.
+    batch, n_cand = (2, 8) if on_tpu else (1, 2)
 
     x = jnp.zeros((batch, res, res, 3), jnp.float32)
     sigma = jnp.full((batch,), 10.0, jnp.float32)

@@ -440,10 +440,14 @@ class UNetBlock(nn.Module):
             qkv = EDMConv(c * 3, 1, dtype=self.dtype, name="qkv", **init_attn)(
                 EDMGroupNorm(eps=self.eps, dtype=self.dtype, name="norm2")(x)
             )
-            # channel layout (heads, cph, 3): matches the reference's
-            # reshape(N*heads, C//heads, 3, HW) on NCHW (networks.py:183).
-            qkv = qkv.reshape(b, h * w_, heads, cph, 3)
-            q, k, v = qkv[..., 0], qkv[..., 1], qkv[..., 2]
+            # Channel layout (3, heads, cph): the torch->flax converter
+            # de-interleaves the reference's ((head, d), 3) projection
+            # columns (networks.py:183) so q/k/v are contiguous lane slices
+            # instead of every-3rd-lane gathers (torch_import._deinterleave_qkv).
+            qkv = qkv.reshape(b, h * w_, 3 * c)
+            q = qkv[..., :c].reshape(b, h * w_, heads, cph)
+            k = qkv[..., c:2 * c].reshape(b, h * w_, heads, cph)
+            v = qkv[..., 2 * c:].reshape(b, h * w_, heads, cph)
             a = multihead_attention_fp32(q, k, v)  # [B, T, heads, cph]
             a = a.reshape(b, h, w_, c)
             x = EDMConv(c, 1, dtype=self.dtype, name="proj", **init_zero)(a) + x

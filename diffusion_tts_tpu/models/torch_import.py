@@ -25,6 +25,24 @@ import numpy as np
 _SKIP_LEAVES = {"resample_filter", "u"}
 
 
+def _deinterleave_qkv(arr: np.ndarray, axis: int = -1) -> np.ndarray:
+    """Reorder UNetBlock qkv projection output channels from the reference's
+    interleaved ((head, d), 3) layout (networks.py:183 reshapes conv output
+    as [N*heads, cph, 3, HW]) to contiguous (3, (head, d)).
+
+    On TPU the interleaved layout forces lane-strided q/k/v slices (reading
+    every 3rd lane — a gather); contiguous thirds slice on full lane tiles.
+    The consumption side (models/layers.py UNetBlock) matches this order, so
+    forwards are bit-identical to the reference layout."""
+    c3 = arr.shape[axis]
+    assert c3 % 3 == 0
+    arr = np.moveaxis(arr, axis, -1)
+    shape = arr.shape
+    arr = arr.reshape(shape[:-1] + (c3 // 3, 3))
+    arr = np.swapaxes(arr, -1, -2).reshape(shape)
+    return np.moveaxis(arr, -1, axis)
+
+
 def _is_norm_module(module_name: str) -> bool:
     return "norm" in module_name.split("_")[-1] or module_name in ("out_norm",)
 
@@ -61,7 +79,10 @@ def convert_state_dict(state: Mapping[str, np.ndarray]) -> dict:
         owner = path[-1] if path else ""
         if leaf == "weight":
             if value.ndim == 4:
-                _set(params, path + ["kernel"], value.transpose(2, 3, 1, 0))
+                kernel = value.transpose(2, 3, 1, 0)
+                if owner == "qkv":
+                    kernel = _deinterleave_qkv(kernel, axis=-1)
+                _set(params, path + ["kernel"], kernel)
             elif value.ndim == 2:
                 _set(params, path + ["kernel"], value.transpose(1, 0))
             elif value.ndim == 1:  # GroupNorm gain
@@ -69,6 +90,8 @@ def convert_state_dict(state: Mapping[str, np.ndarray]) -> dict:
             else:
                 raise ValueError(f"unexpected weight rank for {name}: {value.shape}")
         elif leaf == "bias":
+            if owner == "qkv" and value.ndim == 1 and value.shape[0] % 3 == 0:
+                value = _deinterleave_qkv(value, axis=-1)
             _set(params, path + ["bias"], value)
         else:
             raise ValueError(f"unmapped leaf {name}")

@@ -83,7 +83,10 @@ def mcts_search(
     num_steps = backend.num_steps
     feat_shape = z.shape[1:]
     feat_ndim = len(feat_shape)
-    maxn = 1 + num_steps * (1 + n_phases * rollout_batch) * b_exp
+    # Every iteration of the pipelined rollout scan consumes b_exp arena
+    # slots (masked or not), rollout_batch+1 iterations per phase (the +1 is
+    # the root-expansion pipeline fill).
+    maxn = 1 + num_steps * n_phases * (rollout_batch + 1) * b_exp
     max_path = num_steps + 2
     b_idx = jnp.arange(bsz)
 
