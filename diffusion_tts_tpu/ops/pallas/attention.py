@@ -52,12 +52,56 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, tk: int, scale: float):
     o_ref[0] = (acc / l).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("tq", "tk", "interpret"))
+def _attention_reference(q, k, v):
+    """jnp mirror of the kernel's numerics (fp32 scores softmax); VJP source
+    for the differentiable wrapper — the Pallas kernel is forward-only."""
+    orig = q.dtype
+    d = q.shape[-1]
+    s = jnp.einsum(
+        "bqhd,bkhd->bhqk", q.astype(jnp.float32),
+        k.astype(jnp.float32) * (1.0 / d**0.5),
+        preferred_element_type=jnp.float32,
+    )
+    w = jax.nn.softmax(s, axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", w, v.astype(jnp.float32),
+                     preferred_element_type=jnp.float32)
+    return out.astype(orig)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _flash_diff(q, k, v, tq, tk, interpret):
+    return _flash_attention_fwd_only(q, k, v, tq=tq, tk=tk, interpret=interpret)
+
+
+def _flash_diff_fwd(q, k, v, tq, tk, interpret):
+    return _flash_diff(q, k, v, tq, tk, interpret), (q, k, v)
+
+
+def _flash_diff_bwd(tq, tk, interpret, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(_attention_reference, q, k, v)
+    return vjp(g)
+
+
+_flash_diff.defvjp(_flash_diff_fwd, _flash_diff_bwd)
+
+
 def flash_attention(
     q: jax.Array, k: jax.Array, v: jax.Array, *, tq: int = 512, tk: int = 512,
     interpret: bool = False,
 ) -> jax.Array:
-    """q, k, v: [B, T, H, D] -> [B, T, H, D], fp32-softmax flash attention."""
+    """q, k, v: [B, T, H, D] -> [B, T, H, D], fp32-softmax flash attention.
+
+    Differentiable: backward is the VJP of the equivalent XLA attention
+    (the kernel implements only the forward)."""
+    return _flash_diff(q, k, v, tq, tk, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("tq", "tk", "interpret"))
+def _flash_attention_fwd_only(
+    q: jax.Array, k: jax.Array, v: jax.Array, *, tq: int = 512, tk: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
     b, t, h, d = q.shape
     tq = min(tq, t)
     tk = min(tk, t)

@@ -77,7 +77,49 @@ def _pick_hblock(h: int, w: int, c: int, budget: int = 4 * 2**20) -> int:
     return hb
 
 
-@functools.partial(jax.jit, static_argnames=("groups", "eps", "apply_silu", "interpret"))
+def _gn_reference(x, scale, bias, groups, eps, apply_silu):
+    """Pure-jnp mirror of the kernel (fp32 stats; [C] or [B, C] affine).
+    Forward-equivalent to the Pallas path; used as the VJP source so the
+    fused kernel is differentiable (training steps on TPU hit GN under
+    grad; the kernel itself only implements the forward)."""
+    b, h, w, c = x.shape
+    xf = x.astype(jnp.float32).reshape(b, h, w, groups, c // groups)
+    mean = xf.mean(axis=(1, 2, 4), keepdims=True)
+    var = jnp.var(xf, axis=(1, 2, 4), keepdims=True)
+    xn = ((xf - mean) * jax.lax.rsqrt(var + eps)).reshape(b, h, w, c)
+    scale = scale.astype(jnp.float32).reshape(-1, 1, 1, c)
+    bias = bias.astype(jnp.float32).reshape(-1, 1, 1, c)
+    out = xn * scale + bias
+    if apply_silu:
+        out = out * jax.nn.sigmoid(out)
+    return out.astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _gn_silu_diff(x, scale, bias, groups, eps, apply_silu, interpret):
+    return _group_norm_silu_fwd_only(
+        x, scale, bias, groups=groups, eps=eps, apply_silu=apply_silu,
+        interpret=interpret,
+    )
+
+
+def _gn_silu_diff_fwd(x, scale, bias, groups, eps, apply_silu, interpret):
+    out = _gn_silu_diff(x, scale, bias, groups, eps, apply_silu, interpret)
+    return out, (x, scale, bias)
+
+
+def _gn_silu_diff_bwd(groups, eps, apply_silu, interpret, res, g):
+    x, scale, bias = res
+    _, vjp = jax.vjp(
+        lambda xx, ss, bb: _gn_reference(xx, ss, bb, groups, eps, apply_silu),
+        x, scale, bias,
+    )
+    return vjp(g)
+
+
+_gn_silu_diff.defvjp(_gn_silu_diff_fwd, _gn_silu_diff_bwd)
+
+
 def group_norm_silu(
     x: jax.Array, scale: jax.Array, bias: jax.Array, *, groups: int,
     eps: float = 1e-5, apply_silu: bool = True, interpret: bool = False,
@@ -87,8 +129,18 @@ def group_norm_silu(
     Returns (GN(x)*scale+bias) (+SiLU). The per-sample form is how AdaGN
     (UNetBlock norm1, edm/training/networks.py:172-174) fuses: the wrapper
     folds the timestep-affine modulation into effective [B, C] scale/bias so
-    GN + modulation + SiLU is one HBM round-trip.
+    GN + modulation + SiLU is one HBM round-trip. Differentiable: the
+    backward pass is the VJP of the equivalent jnp computation (XLA-fused),
+    only the forward runs the hand-written kernel.
     """
+    return _gn_silu_diff(x, scale, bias, groups, eps, apply_silu, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("groups", "eps", "apply_silu", "interpret"))
+def _group_norm_silu_fwd_only(
+    x: jax.Array, scale: jax.Array, bias: jax.Array, *, groups: int,
+    eps: float = 1e-5, apply_silu: bool = True, interpret: bool = False,
+) -> jax.Array:
     b, h, w, c = x.shape
     assert c % groups == 0
     cg = c // groups

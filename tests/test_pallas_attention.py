@@ -19,6 +19,15 @@ def test_flash_attention_matches_xla(shape, dtype):
     v = jax.random.normal(kv, shape, dtype)
     ref = _xla_attention(q, k, v)
     out = flash_attention(q, k, v, tq=128, tk=128, interpret=True)
+    # differentiability: VJP must match the XLA reference attention's grads
+    gf = jax.grad(lambda a, b, c: jnp.sum(
+        flash_attention(a, b, c, tq=128, tk=128, interpret=True) ** 2
+    ), argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(lambda a, b, c: jnp.sum(_xla_attention(a, b, c) ** 2),
+                  argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32), atol=2e-2, rtol=2e-2)
     tol = 2e-6 if dtype == jnp.float32 else 2e-2
     np.testing.assert_allclose(
         np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=tol, rtol=tol
