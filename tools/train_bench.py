@@ -1,0 +1,107 @@
+"""Training-throughput benchmark: images/sec and sec/kimg for one chip.
+
+The reference defines its training speed metric as sec/kimg in the tick log
+(edm/training/training_loop.py:162-163) but ships no recorded numbers; this
+tool produces them for the TPU build. One compiled pjit step (grad-accum
+scan + Adam + ramped EMA — training/train_step.py) over synthetic data.
+
+Usage:
+  python tools/train_bench.py [--arch cifar10] [--batch 128] [--rounds 1]
+      [--steps 8] [--json out.json]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--arch", default="cifar10")
+    ap.add_argument("--batch", type=int, default=128, help="micro-batch per round")
+    ap.add_argument("--rounds", type=int, default=1, help="grad-accum rounds")
+    ap.add_argument("--steps", type=int, default=8, help="timed optimizer steps")
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--json", default=None)
+    args = ap.parse_args()
+
+    from diffusion_tts_tpu.backends.edm_entry import NET_CONFIGS, PRECONDS
+    from diffusion_tts_tpu.training.loss import EDMLoss
+    from diffusion_tts_tpu.training.train_step import (
+        TrainConfig, TrainState, make_optimizer, make_train_step,
+    )
+    from diffusion_tts_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    cfg_net = dict(NET_CONFIGS[args.arch])
+    net = PRECONDS["edm"](dtype=getattr(jnp, args.dtype), **cfg_net)
+    res, ch, label_dim = (cfg_net["img_resolution"], cfg_net["img_channels"],
+                          cfg_net["label_dim"])
+
+    rng = np.random.default_rng(0)
+    micro = args.batch
+    x0 = jnp.zeros((micro, res, res, ch), jnp.float32)
+    lab0 = jnp.zeros((micro, label_dim), jnp.float32) if label_dim else None
+    variables = net.init({"params": jax.random.key(0)}, x0, jnp.ones((micro,)), lab0)
+
+    def denoise_apply(params, x, sigma, labels, augment_labels, rng=None):
+        rngs = {"label_dropout": rng} if rng is not None else None
+        return net.apply({"params": params}, x, sigma, labels,
+                         augment_labels=augment_labels, train=True, rngs=rngs)
+
+    total_batch = micro * args.rounds
+    cfg = TrainConfig(lr=1e-4, grad_accum_rounds=args.rounds, total_batch=total_batch)
+    tx = make_optimizer(cfg)
+    state = TrainState.create(variables["params"], tx)
+    step = jax.jit(make_train_step(EDMLoss(), denoise_apply, cfg, tx), donate_argnums=0)
+
+    images = jnp.asarray(
+        rng.normal(size=(args.rounds, micro, res, res, ch)), jnp.float32)
+    labels = (jnp.asarray(
+        np.eye(label_dim)[rng.integers(0, label_dim, (args.rounds, micro))],
+        jnp.float32) if label_dim else jnp.zeros((args.rounds, micro, 0)))
+
+    t0 = time.perf_counter()
+    state, metrics = step(state, images, labels, jax.random.key(1))
+    jax.block_until_ready(state.params)
+    compile_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    for i in range(args.steps):
+        state, metrics = step(state, images, labels, jax.random.key(2 + i))
+    jax.block_until_ready(state.params)
+    dt = time.perf_counter() - t0
+
+    img_per_s = total_batch * args.steps / dt
+    out = dict(
+        arch=args.arch, params=int(sum(
+            np.prod(l.shape) for l in jax.tree_util.tree_leaves(state.params))),
+        batch=total_batch, dtype=args.dtype,
+        device=str(jax.devices()[0].device_kind),
+        img_per_s=round(img_per_s, 1),
+        sec_per_kimg=round(1000.0 / img_per_s, 2),
+        step_ms=round(dt / args.steps * 1e3, 1),
+        compile_s=round(compile_s, 1),
+        loss=float(metrics["loss"]),
+    )
+    print(json.dumps(out))
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(out, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()
