@@ -324,6 +324,47 @@ class EDMAdaptiveGroupNormSiLU(nn.Module):
         return nn.silu(sh + gn * (ms + 1.0))
 
 
+class EDMPreBiasGroupNormSiLU(nn.Module):
+    """silu(GN(x + pre)) — the SongUNet (non-adaptive) norm1 pattern
+    (edm/training/networks.py:176) with the additive timestep embedding
+    folded into the fused kernel's statistics. Parameter structure matches
+    EDMGroupNorm (checkpoint compatible)."""
+
+    num_groups: int = 32
+    min_channels_per_group: int = 4
+    eps: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, pre: jax.Array) -> jax.Array:
+        c = x.shape[-1]
+        groups = min(self.num_groups, c // self.min_channels_per_group)
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+
+        from diffusion_tts_tpu.ops.pallas.groupnorm import (
+            group_norm_silu_prebias,
+            pallas_gn_eligible,
+        )
+
+        if x.ndim == 4 and pallas_gn_eligible(x):
+            return group_norm_silu_prebias(
+                x, scale, bias, pre, groups=groups, eps=self.eps, apply_silu=True
+            )
+        # Unfused fallback: add in x.dtype, GN with fp32 stats, SiLU —
+        # the exact op order of the pre-fusion implementation.
+        orig_dtype = x.dtype
+        xf = (x + pre[:, None, None, :].astype(x.dtype)).astype(jnp.float32)
+        shape = xf.shape
+        xf = xf.reshape(shape[:-1] + (groups, c // groups))
+        axes = tuple(range(1, xf.ndim - 2)) + (xf.ndim - 1,)
+        mean = jnp.mean(xf, axis=axes, keepdims=True)
+        var = jnp.var(xf, axis=axes, keepdims=True)
+        xf = ((xf - mean) * jax.lax.rsqrt(var + self.eps)).reshape(shape)
+        out = xf * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+        return nn.silu(out.astype(orig_dtype))
+
+
 class PositionalEmbedding(nn.Module):
     """DDPM++/ADM timestep embedding (networks.py:193-207): outer(t, freqs)
     -> cat[cos, sin]."""
@@ -417,8 +458,9 @@ class UNetBlock(nn.Module):
                 x, scale, shift
             )
         else:
-            params = params[:, None, None, :].astype(x.dtype)
-            x = nn.silu(EDMGroupNorm(eps=self.eps, dtype=self.dtype, name="norm1")(x + params))
+            x = EDMPreBiasGroupNormSiLU(eps=self.eps, dtype=self.dtype, name="norm1")(
+                x, params.astype(x.dtype)
+            )
 
         if self.dropout > 0.0:
             x = nn.Dropout(self.dropout, deterministic=not train)(x)
@@ -461,6 +503,7 @@ __all__ = [
     "EDMGroupNorm",
     "EDMGroupNormSiLU",
     "EDMAdaptiveGroupNormSiLU",
+    "EDMPreBiasGroupNormSiLU",
     "PositionalEmbedding",
     "FourierEmbedding",
     "UNetBlock",

@@ -25,8 +25,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _gn_kernel(x_ref, scale_ref, bias_ref, o_ref, colsum, colsumsq, stats,
-               *, cg: int, eps: float, apply_silu: bool, total_hw: int):
+def _gn_kernel(x_ref, scale_ref, bias_ref, *rest,
+               cg: int, eps: float, apply_silu: bool, total_hw: int,
+               has_pre: bool):
+    if has_pre:
+        pre_ref, o_ref, colsum, colsumsq, stats = rest
+    else:
+        o_ref, colsum, colsumsq, stats = rest
+        pre_ref = None
     ph = pl.program_id(1)
     hb = pl.program_id(2)
     x = x_ref[0].astype(jnp.float32)  # [HB, W, C]
@@ -45,6 +51,13 @@ def _gn_kernel(x_ref, scale_ref, bias_ref, o_ref, colsum, colsumsq, stats,
 
     @pl.when((ph == 1) & (hb == 0))
     def _finalize_stats():
+        cs, csq = colsum[:], colsumsq[:]
+        if pre_ref is not None:
+            # statistics of (x + pre) fold into the raw moments of x:
+            # sum' = sum + HW*p,  sumsq' = sumsq + 2*p*sum + HW*p^2
+            p = pre_ref[0].astype(jnp.float32)  # [1, C]
+            csq = csq + 2.0 * p * cs + float(total_hw) * p * p
+            cs = cs + float(total_hw) * p
         gb = c // cg
         ch_ids = jax.lax.broadcasted_iota(jnp.int32, (c, gb), 0)
         g_ids = jax.lax.broadcasted_iota(jnp.int32, (c, gb), 1)
@@ -53,14 +66,15 @@ def _gn_kernel(x_ref, scale_ref, bias_ref, o_ref, colsum, colsumsq, stats,
             a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
         denom = float(total_hw * cg)
-        mean_g = dot(colsum[:], onehot) / denom  # [1, G]
-        var_g = dot(colsumsq[:], onehot) / denom - mean_g * mean_g
+        mean_g = dot(cs, onehot) / denom  # [1, G]
+        var_g = dot(csq, onehot) / denom - mean_g * mean_g
         stats[0:1, :] = dot(mean_g, onehot.T)  # mean per channel
         stats[1:2, :] = dot(jax.lax.rsqrt(var_g + eps), onehot.T)
 
     @pl.when(ph == 1)
     def _normalize():
-        out = (x2d - stats[0:1, :]) * stats[1:2, :]
+        xin = x2d if pre_ref is None else x2d + pre_ref[0].astype(jnp.float32)
+        out = (xin - stats[0:1, :]) * stats[1:2, :]
         # scale/bias are per-(batch, channel) [1, 1, C] blocks: the wrapper
         # folds the GN affine and any per-sample (AdaGN) modulation into them.
         out = out * scale_ref[0].astype(jnp.float32) + bias_ref[0].astype(jnp.float32)
@@ -77,13 +91,17 @@ def _pick_hblock(h: int, w: int, c: int, budget: int = 4 * 2**20) -> int:
     return hb
 
 
-def _gn_reference(x, scale, bias, groups, eps, apply_silu):
-    """Pure-jnp mirror of the kernel (fp32 stats; [C] or [B, C] affine).
+def _gn_reference(x, scale, bias, groups, eps, apply_silu, pre=None):
+    """Pure-jnp mirror of the kernel (fp32 stats; [C] or [B, C] affine;
+    optional per-sample additive pre-bias folded before normalization).
     Forward-equivalent to the Pallas path; used as the VJP source so the
     fused kernel is differentiable (training steps on TPU hit GN under
     grad; the kernel itself only implements the forward)."""
     b, h, w, c = x.shape
-    xf = x.astype(jnp.float32).reshape(b, h, w, groups, c // groups)
+    xf = x.astype(jnp.float32)
+    if pre is not None:
+        xf = xf + pre.astype(jnp.float32).reshape(-1, 1, 1, c)
+    xf = xf.reshape(b, h, w, groups, c // groups)
     mean = xf.mean(axis=(1, 2, 4), keepdims=True)
     var = jnp.var(xf, axis=(1, 2, 4), keepdims=True)
     xn = ((xf - mean) * jax.lax.rsqrt(var + eps)).reshape(b, h, w, c)
@@ -136,36 +154,81 @@ def group_norm_silu(
     return _gn_silu_diff(x, scale, bias, groups, eps, apply_silu, interpret)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _gn_silu_pre_diff(x, scale, bias, pre, groups, eps, apply_silu, interpret):
+    return _group_norm_silu_fwd_only(
+        x, scale, bias, pre=pre, groups=groups, eps=eps, apply_silu=apply_silu,
+        interpret=interpret,
+    )
+
+
+def _gn_silu_pre_diff_fwd(x, scale, bias, pre, groups, eps, apply_silu, interpret):
+    out = _gn_silu_pre_diff(x, scale, bias, pre, groups, eps, apply_silu, interpret)
+    return out, (x, scale, bias, pre)
+
+
+def _gn_silu_pre_diff_bwd(groups, eps, apply_silu, interpret, res, g):
+    x, scale, bias, pre = res
+    _, vjp = jax.vjp(
+        lambda xx, ss, bb, pp: _gn_reference(xx, ss, bb, groups, eps, apply_silu, pp),
+        x, scale, bias, pre,
+    )
+    return vjp(g)
+
+
+_gn_silu_pre_diff.defvjp(_gn_silu_pre_diff_fwd, _gn_silu_pre_diff_bwd)
+
+
+def group_norm_silu_prebias(
+    x: jax.Array, scale: jax.Array, bias: jax.Array, pre: jax.Array, *,
+    groups: int, eps: float = 1e-5, apply_silu: bool = True,
+    interpret: bool = False,
+) -> jax.Array:
+    """silu(GN(x + pre) * scale + bias) with per-sample pre [B, C] — the
+    SongUNet (non-adaptive) norm1 pattern silu(GN(x + emb_affine))
+    (edm/training/networks.py:176). The additive embedding folds into the
+    kernel's raw moments (sum' = sum + HW*p, sumsq' = sumsq + 2p*sum +
+    HW*p^2), so the add never materializes a separate HBM pass."""
+    return _gn_silu_pre_diff(x, scale, bias, pre, groups, eps, apply_silu, interpret)
+
+
 @functools.partial(jax.jit, static_argnames=("groups", "eps", "apply_silu", "interpret"))
 def _group_norm_silu_fwd_only(
-    x: jax.Array, scale: jax.Array, bias: jax.Array, *, groups: int,
-    eps: float = 1e-5, apply_silu: bool = True, interpret: bool = False,
+    x: jax.Array, scale: jax.Array, bias: jax.Array, pre: jax.Array | None = None,
+    *, groups: int, eps: float = 1e-5, apply_silu: bool = True,
+    interpret: bool = False,
 ) -> jax.Array:
     b, h, w, c = x.shape
     assert c % groups == 0
     cg = c // groups
     hb = _pick_hblock(h, w, c)
+
     # [B, 1, C] so the (1, 1, C) block's trailing two dims match Mosaic's
     # (sublane=full-dim, lane%128) tiling rules for any batch size.
-    if scale.ndim == 1:
-        scale = jnp.broadcast_to(scale[None, None, :], (b, 1, c))
-    else:
-        scale = scale.reshape(b, 1, c)
-    if bias.ndim == 1:
-        bias = jnp.broadcast_to(bias[None, None, :], (b, 1, c))
-    else:
-        bias = bias.reshape(b, 1, c)
+    def row(v):
+        if v.ndim == 1:
+            return jnp.broadcast_to(v[None, None, :], (b, 1, c))
+        return v.reshape(b, 1, c)
+
+    scale, bias = row(scale), row(bias)
+    row_spec = pl.BlockSpec((1, 1, c), lambda i, p, j: (i, 0, 0), memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((1, hb, w, c), lambda i, p, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
+        row_spec,
+        row_spec,
+    ]
+    args = [x, scale, bias]
+    if pre is not None:
+        in_specs.append(row_spec)
+        args.append(row(pre))
     return pl.pallas_call(
         functools.partial(
-            _gn_kernel, cg=cg, eps=eps, apply_silu=apply_silu, total_hw=h * w
+            _gn_kernel, cg=cg, eps=eps, apply_silu=apply_silu, total_hw=h * w,
+            has_pre=pre is not None,
         ),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         grid=(b, 2, h // hb),
-        in_specs=[
-            pl.BlockSpec((1, hb, w, c), lambda i, p, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, c), lambda i, p, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, c), lambda i, p, j: (i, 0, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, hb, w, c), lambda i, p, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((1, c), jnp.float32),  # colsum
@@ -177,7 +240,7 @@ def _group_norm_silu_fwd_only(
             flops=10 * b * h * w * c, bytes_accessed=3 * b * h * w * c * x.dtype.itemsize,
             transcendentals=b * h * w * c if apply_silu else 0,
         ),
-    )(x, scale, bias)
+    )(*args)
 
 
 def pallas_gn_eligible(x: jax.Array) -> bool:
@@ -195,4 +258,4 @@ def pallas_gn_eligible(x: jax.Array) -> bool:
     return c % 64 == 0 and c >= 128
 
 
-__all__ = ["group_norm_silu", "pallas_gn_eligible"]
+__all__ = ["group_norm_silu", "group_norm_silu_prebias", "pallas_gn_eligible"]

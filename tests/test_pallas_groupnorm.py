@@ -53,6 +53,34 @@ def test_group_norm_per_sample_modulation():
     )
 
 
+def test_group_norm_prebias_matches_and_grads():
+    """silu(GN(x + pre)): fused moments fold == reference add-then-GN, and
+    the VJP matches (incl. gradient to the pre-bias, which flows to the
+    timestep-embedding Linear in training)."""
+    from diffusion_tts_tpu.ops.pallas.groupnorm import group_norm_silu_prebias
+
+    key = jax.random.key(11)
+    b, c = 3, 128
+    x = jax.random.normal(key, (b, 8, 8, c), jnp.float32) * 2
+    pre = jax.random.normal(jax.random.fold_in(key, 1), (b, c))
+    scale = jax.random.normal(jax.random.fold_in(key, 2), (c,))
+    bias = jax.random.normal(jax.random.fold_in(key, 3), (c,))
+
+    got = group_norm_silu_prebias(x, scale, bias, pre, groups=16, eps=1e-5,
+                                  interpret=True)
+    want = ref_gn(x + pre[:, None, None, :], scale, bias, 16, 1e-5, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5)
+
+    g_fused = jax.grad(lambda xx, pp: jnp.sum(group_norm_silu_prebias(
+        xx, scale, bias, pp, groups=16, eps=1e-5, interpret=True) ** 2),
+        argnums=(0, 1))(x, pre)
+    g_ref = jax.grad(lambda xx, pp: jnp.sum(ref_gn(
+        xx + pp[:, None, None, :], scale, bias, 16, 1e-5, True) ** 2),
+        argnums=(0, 1))(x, pre)
+    for a, b_ in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4, rtol=1e-4)
+
+
 def test_group_norm_silu_grad():
     """The fused op is differentiable (training steps hit GN under grad):
     its VJP must match the pure-jnp computation's gradient."""
