@@ -199,6 +199,20 @@ class EDMConv(nn.Module):
         return x
 
 
+def _group_norm_fp32(x: jax.Array, groups: int, eps: float) -> jax.Array:
+    """Grouped normalization with fp32 statistics (no affine), returned in
+    fp32. Shared fallback body for all EDM*GroupNorm* modules — the fused
+    Pallas kernel (ops/pallas/groupnorm.py) is the TPU path."""
+    xf = x.astype(jnp.float32)
+    shape = xf.shape
+    c = shape[-1]
+    xf = xf.reshape(shape[:-1] + (groups, c // groups))
+    axes = tuple(range(1, xf.ndim - 2)) + (xf.ndim - 1,)
+    mean = jnp.mean(xf, axis=axes, keepdims=True)
+    var = jnp.var(xf, axis=axes, keepdims=True)
+    return ((xf - mean) * jax.lax.rsqrt(var + eps)).reshape(shape)
+
+
 class EDMGroupNorm(nn.Module):
     """GroupNorm with num_groups=min(32, C//4) and fp32 statistics
     (networks.py:96-106)."""
@@ -224,17 +238,9 @@ class EDMGroupNorm(nn.Module):
             return group_norm_silu(
                 x, scale, bias, groups=groups, eps=self.eps, apply_silu=False
             )
-        orig_dtype = x.dtype
-        xf = x.astype(jnp.float32)
-        shape = xf.shape
-        xf = xf.reshape(shape[:-1] + (groups, c // groups))
-        axes = tuple(range(1, xf.ndim - 2)) + (xf.ndim - 1,)
-        mean = jnp.mean(xf, axis=axes, keepdims=True)
-        var = jnp.var(xf, axis=axes, keepdims=True)
-        xf = (xf - mean) * jax.lax.rsqrt(var + self.eps)
-        xf = xf.reshape(shape)
-        out = xf * scale.astype(jnp.float32) + bias.astype(jnp.float32)
-        return out.astype(orig_dtype)
+        out = (_group_norm_fp32(x, groups, self.eps) * scale.astype(jnp.float32)
+               + bias.astype(jnp.float32))
+        return out.astype(x.dtype)
 
 
 class EDMGroupNormSiLU(nn.Module):
@@ -264,16 +270,9 @@ class EDMGroupNormSiLU(nn.Module):
             return group_norm_silu(
                 x, scale, bias, groups=groups, eps=self.eps, apply_silu=True
             )
-        orig_dtype = x.dtype
-        xf = x.astype(jnp.float32)
-        shape = xf.shape
-        xf = xf.reshape(shape[:-1] + (groups, c // groups))
-        axes = tuple(range(1, xf.ndim - 2)) + (xf.ndim - 1,)
-        mean = jnp.mean(xf, axis=axes, keepdims=True)
-        var = jnp.var(xf, axis=axes, keepdims=True)
-        xf = ((xf - mean) * jax.lax.rsqrt(var + self.eps)).reshape(shape)
-        out = xf * scale.astype(jnp.float32) + bias.astype(jnp.float32)
-        return nn.silu(out).astype(orig_dtype)
+        out = (_group_norm_fp32(x, groups, self.eps) * scale.astype(jnp.float32)
+               + bias.astype(jnp.float32))
+        return nn.silu(out).astype(x.dtype)
 
 
 class EDMAdaptiveGroupNormSiLU(nn.Module):
@@ -311,14 +310,8 @@ class EDMAdaptiveGroupNormSiLU(nn.Module):
         # Unfused fallback: GN (fp32 stats) to x.dtype, then modulate + SiLU
         # in x.dtype — the exact op order of the pre-fusion implementation.
         orig_dtype = x.dtype
-        xf = x.astype(jnp.float32)
-        shape = xf.shape
-        xf = xf.reshape(shape[:-1] + (groups, c // groups))
-        axes = tuple(range(1, xf.ndim - 2)) + (xf.ndim - 1,)
-        mean = jnp.mean(xf, axis=axes, keepdims=True)
-        var = jnp.var(xf, axis=axes, keepdims=True)
-        xf = ((xf - mean) * jax.lax.rsqrt(var + self.eps)).reshape(shape)
-        gn = (xf * scale.astype(jnp.float32) + bias.astype(jnp.float32)).astype(orig_dtype)
+        gn = (_group_norm_fp32(x, groups, self.eps) * scale.astype(jnp.float32)
+              + bias.astype(jnp.float32)).astype(orig_dtype)
         ms = mod_scale[:, None, None, :].astype(orig_dtype)
         sh = mod_shift[:, None, None, :].astype(orig_dtype)
         return nn.silu(sh + gn * (ms + 1.0))
@@ -353,16 +346,10 @@ class EDMPreBiasGroupNormSiLU(nn.Module):
             )
         # Unfused fallback: add in x.dtype, GN with fp32 stats, SiLU —
         # the exact op order of the pre-fusion implementation.
-        orig_dtype = x.dtype
-        xf = (x + pre[:, None, None, :].astype(x.dtype)).astype(jnp.float32)
-        shape = xf.shape
-        xf = xf.reshape(shape[:-1] + (groups, c // groups))
-        axes = tuple(range(1, xf.ndim - 2)) + (xf.ndim - 1,)
-        mean = jnp.mean(xf, axis=axes, keepdims=True)
-        var = jnp.var(xf, axis=axes, keepdims=True)
-        xf = ((xf - mean) * jax.lax.rsqrt(var + self.eps)).reshape(shape)
-        out = xf * scale.astype(jnp.float32) + bias.astype(jnp.float32)
-        return nn.silu(out.astype(orig_dtype))
+        xin = x + pre[:, None, None, :].astype(x.dtype)
+        out = (_group_norm_fp32(xin, groups, self.eps) * scale.astype(jnp.float32)
+               + bias.astype(jnp.float32))
+        return nn.silu(out.astype(x.dtype))
 
 
 class PositionalEmbedding(nn.Module):

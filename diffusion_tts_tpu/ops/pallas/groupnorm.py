@@ -67,7 +67,10 @@ def _gn_kernel(x_ref, scale_ref, bias_ref, *rest,
         )
         denom = float(total_hw * cg)
         mean_g = dot(cs, onehot) / denom  # [1, G]
-        var_g = dot(csq, onehot) / denom - mean_g * mean_g
+        # raw-moment variance can cancel slightly negative in fp32 for
+        # near-constant groups (esp. with a large folded pre-bias) — clamp
+        # so rsqrt(var + eps) stays finite
+        var_g = jnp.maximum(dot(csq, onehot) / denom - mean_g * mean_g, 0.0)
         stats[0:1, :] = dot(mean_g, onehot.T)  # mean per channel
         stats[1:2, :] = dot(jax.lax.rsqrt(var_g + eps), onehot.T)
 

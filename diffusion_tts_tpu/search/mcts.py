@@ -122,12 +122,20 @@ def mcts_search(
             jnp.clip(d, 0, num_steps - 1).reshape((1, bsz, 1) + (1,) * feat_ndim),
             axis=0,
         )[0]  # [B, b_exp, *feat]
-        x_flat = jnp.repeat(x_par, b_exp, axis=0)  # [B*b, ...] sample-major
-        eps_flat = eps.reshape((bsz * b_exp,) + feat_shape)
-        d_flat = jnp.repeat(jnp.clip(d, 0, num_steps - 1), b_exp)
+        # Candidate-major flatten ([cand, sample] -> cand*B) to match
+        # backend.expand's layout: per-sample conditioning closures tile
+        # labels as [l0..lB-1]*n, so sample must be the fast axis.
+        d_clip = jnp.clip(d, 0, num_steps - 1)
+        x_flat = jnp.broadcast_to(
+            x_par[None], (b_exp, bsz) + feat_shape
+        ).reshape((b_exp * bsz,) + feat_shape)
+        eps_flat = jnp.moveaxis(eps, 0, 1).reshape((b_exp * bsz,) + feat_shape)
+        d_flat = jnp.tile(d_clip, b_exp)
         aux = backend.base_step(x_flat, d_flat)
         child_states = backend.advance(x_flat, d_flat, aux, eps_flat)
-        child_states = child_states.reshape((bsz, b_exp) + feat_shape)
+        child_states = jnp.moveaxis(
+            child_states.reshape((b_exp, bsz) + feat_shape), 0, 1
+        )  # [B, b_exp, *feat]
 
         new_ids = tree.count + jnp.arange(b_exp, dtype=jnp.int32)  # [b]
         ids_b = jnp.broadcast_to(new_ids, (bsz, b_exp))
@@ -213,11 +221,15 @@ def mcts_search(
         # Op ordering is identical to the unpipelined form: each selection
         # still runs after the previous rollout's leaf expansion, and
         # backprop still happens at phase end (stale-stats semantics).
+        # Cost note: every scan iteration pays the (possibly masked) expand;
+        # with rollout_batch < S each extra phase adds one masked fill slot,
+        # so the default rollout_batch=S (one phase — the reference's
+        # batched-simulation semantics) is the cost-neutral configuration.
         def phase_body(tree: _Tree, phase: jax.Array) -> tuple[_Tree, None]:
             def iter_body(carry, q):
-                tree, pending, pend_mask, leaf, path, plen = carry
+                tree, leaf, pend_mask, path, plen = carry
                 first_child = tree.count  # ids of the children about to be added
-                tree = expand_nodes(tree, pending, pend_mask)
+                tree = expand_nodes(tree, leaf, pend_mask)
                 # complete rollout q-1 (no-op garbage at q=0, sliced off below)
                 pick = jax.random.randint(
                     fold_in_path(key, _SALT_PICK, i, phase, q - 1), (bsz,), 0, b_exp
@@ -234,11 +246,11 @@ def mcts_search(
                 # select the next leaf to expand (discarded at q=rollout_batch)
                 leaf_n, path_n, plen_n = select_path(tree)
                 do_expand = tree.depth[b_idx, leaf_n] < num_steps - 1
-                return (tree, leaf_n, do_expand, leaf_n, path_n, plen_n), out
+                return (tree, leaf_n, do_expand, path_n, plen_n), out
 
             need_root = (tree.n_children[b_idx, tree.root] == 0) & (phase == 0)
             carry0 = (
-                tree, tree.root, need_root, tree.root,
+                tree, tree.root, need_root,
                 jnp.full((bsz, max_path), -1, jnp.int32).at[:, 0].set(tree.root),
                 jnp.ones((bsz,), jnp.int32),
             )
