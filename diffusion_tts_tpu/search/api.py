@@ -51,6 +51,7 @@ def run_search(
     mcts_rollout_batch: int | None = None,
     noise: InjectedNoise | None = None,
     jit: bool = True,
+    dispatch: str = "whole",
 ) -> SearchResult:
     """Run one search method end-to-end. z: [B, ...] unit-variance latents;
     the final image and score are always computed (edm/main.py:869-877).
@@ -61,11 +62,28 @@ def run_search(
 
     noise: optional InjectedNoise overriding the keyed draws (the
     reference's precomputed_noise dict, edm/main.py:54,723-796); beam has no
-    reference injection surface and ignores it."""
+    reference injection surface and ignores it.
+
+    dispatch: "whole" compiles the entire search into ONE device program
+    (fastest — no per-step launch overhead). "per_step" compiles one
+    timestep and dispatches it num_steps times — identical results, but the
+    device program is K-iterations big instead of steps*K, which large
+    models need to stay inside compiler/runtime limits (zero_order and
+    eps_greedy at K=20 on the 296M flagship; other methods' programs are
+    already per-trajectory-sized and run whole)."""
     params = params or SearchParams()
     if method not in METHODS:
         raise ValueError(f"unknown method {method!r}; expected one of {METHODS}")
+    if dispatch not in ("whole", "per_step"):
+        raise ValueError(f"dispatch must be 'whole' or 'per_step', got {dispatch!r}")
     factory_mode = backend_args is not _UNSET
+
+    if dispatch == "per_step" and method in ("zero_order", "eps_greedy"):
+        return _run_zero_order_per_step(
+            method, backend, z, key, params,
+            backend_args=backend_args, factory_mode=factory_mode,
+            record_noises=record_noises, noise=noise, jit=jit,
+        )
 
     def go(z, key, bargs, inj):
         be = backend(bargs) if factory_mode else backend
@@ -103,6 +121,54 @@ def run_search(
     if scorer is not None and not getattr(scorer, "final_score_is_exact", True):
         score = be_out.score(jax.device_get(images))
     return SearchResult(x=x, images=images, score=score, best_noises=noises)
+
+
+def _run_zero_order_per_step(
+    method, backend, z, key, params, *, backend_args, factory_mode,
+    record_noises, noise, jit,
+):
+    """zero_order/eps_greedy with one device dispatch per timestep. The
+    compiled step function is shared by all timesteps (the step index is a
+    traced scalar), so there is exactly one compile; only the outer scan is
+    replaced by a host loop."""
+    import jax.numpy as jnp
+
+    from diffusion_tts_tpu.search.zero_order import zero_order_timestep
+
+    eps_val = params.eps if method == "eps_greedy" else 0.0
+
+    def step(bargs, x, i, key, inj):
+        be = backend(bargs) if factory_mode else backend
+        return zero_order_timestep(
+            be, x, key, i, params, explore_eps=eps_val,
+            record_noises=record_noises, noise=inj,
+        )
+
+    def finish(bargs, x):
+        be = backend(bargs) if factory_mode else backend
+        images = be.final_images(x)
+        return images, be.score(images)
+
+    step_fn = jax.jit(step) if jit else step
+    finish_fn = jax.jit(finish) if jit else finish
+    bargs = backend_args if factory_mode else None
+    be0 = backend(backend_args) if factory_mode else backend
+
+    x = be0.init_latents(z)
+    noises = []
+    for i in range(be0.num_steps):
+        x, nz = step_fn(bargs, x, jnp.asarray(i, jnp.int32), key, noise)
+        if record_noises:
+            noises.append(nz)
+    images, score = finish_fn(bargs, x)
+
+    scorer = getattr(be0, "scorer", None)
+    if scorer is not None and not getattr(scorer, "final_score_is_exact", True):
+        score = be0.score(jax.device_get(images))
+    return SearchResult(
+        x=x, images=images, score=score,
+        best_noises=jnp.stack(noises) if record_noises else None,
+    )
 
 
 __all__ = ["run_search", "SearchResult", "METHODS"]

@@ -45,6 +45,78 @@ class ZeroOrderResult(NamedTuple):
     best_noises: jax.Array | None  # [steps, K, B, ...] selected pivots (dmap dump)
 
 
+def zero_order_timestep(
+    backend,
+    x: jax.Array,
+    key: jax.Array,
+    i: jax.Array,
+    params: SearchParams,
+    *,
+    explore_eps: float = 0.0,
+    record_noises: bool = False,
+    noise: InjectedNoise | None = None,
+):
+    """One timestep of zero-order/eps-greedy search: K iterations of
+    N-candidate expansion + argmax, then the committed step. Returns
+    (x_next, per-k selected pivots or None). Factored out so the whole
+    search can run either as one compiled scan (zero_order_search) or as
+    one dispatch per timestep (run_search(dispatch="per_step") — keeps
+    device programs small for very long searches on large models)."""
+    n, k_iters = params.N, params.K
+    b = x.shape[0]
+    feat_shape = x.shape[1:]
+    lam = params.lambda_ * math.sqrt(math.prod(feat_shape))
+    inj = noise if noise is not None else InjectedNoise()
+
+    aux = backend.base_step(x, i)
+    if inj.pivots is not None:
+        pivot = inj.pivots[i]
+    else:
+        pivot = jax.random.normal(fold_in_path(key, SALT_PIVOT, i), x.shape, jnp.float32)
+
+    def k_body(pivot, k):
+        if inj.directions is not None:
+            dirs = inj.directions[i, k]
+        else:
+            dirs = jax.random.normal(
+                fold_in_path(key, SALT_DIR, i, k), (n,) + pivot.shape, jnp.float32
+            )
+        dirs = unit_normalize(dirs.reshape((n * b,) + feat_shape)).reshape(dirs.shape)
+        if inj.scales01 is not None:
+            scales01 = inj.scales01[i, k].reshape((n, b) + (1,) * len(feat_shape))
+        else:
+            scales01 = jax.random.uniform(
+                fold_in_path(key, SALT_SCALE, i, k), (n, b) + (1,) * len(feat_shape)
+            )
+        perturbed = pivot[None] + scales01 * lam * dirs
+        if inj.fresh is not None:
+            fresh = inj.fresh[i, k]
+        else:
+            fresh = jax.random.normal(
+                fold_in_path(key, SALT_FRESH, i, k), (n,) + pivot.shape, jnp.float32
+            )
+        # one Bernoulli per candidate slot, shared across the batch
+        # (edm/main.py:751: torch.rand(1) < (1 - eps))
+        if inj.explore01 is not None:
+            bern = inj.explore01[i, k]
+        else:
+            bern = jax.random.uniform(fold_in_path(key, SALT_BERN, i, k), (n,))
+        explore = (bern < explore_eps).reshape((n,) + (1,) * (pivot.ndim))
+        cands = jnp.where(explore, fresh, perturbed)
+
+        _, images = backend.expand(x, i, aux, cands)
+        scores = backend.score(images).reshape(n, b)
+        best = jnp.argmax(scores, axis=0)  # [B]
+        new_pivot = jnp.take_along_axis(
+            cands, best.reshape((1, b) + (1,) * len(feat_shape)), axis=0
+        )[0]
+        return new_pivot, new_pivot if record_noises else None
+
+    pivot, noises = jax.lax.scan(k_body, pivot, jnp.arange(k_iters, dtype=jnp.int32))
+    x_next = backend.advance(x, i, aux, pivot)
+    return x_next, noises
+
+
 def zero_order_search(
     backend,
     z: jax.Array,
@@ -55,61 +127,13 @@ def zero_order_search(
     record_noises: bool = False,
     noise: InjectedNoise | None = None,
 ) -> ZeroOrderResult:
-    n, k_iters = params.N, params.K
-    lam = params.lambda_ * math.sqrt(math.prod(z.shape[1:]))
-    b = z.shape[0]
     x0 = backend.init_latents(z)
-    feat_shape = x0.shape[1:]
-    inj = noise if noise is not None else InjectedNoise()
 
     def step_body(x, i):
-        aux = backend.base_step(x, i)
-        if inj.pivots is not None:
-            pivot = inj.pivots[i]
-        else:
-            pivot = jax.random.normal(fold_in_path(key, SALT_PIVOT, i), x.shape, jnp.float32)
-
-        def k_body(pivot, k):
-            if inj.directions is not None:
-                dirs = inj.directions[i, k]
-            else:
-                dirs = jax.random.normal(
-                    fold_in_path(key, SALT_DIR, i, k), (n,) + pivot.shape, jnp.float32
-                )
-            dirs = unit_normalize(dirs.reshape((n * b,) + feat_shape)).reshape(dirs.shape)
-            if inj.scales01 is not None:
-                scales01 = inj.scales01[i, k].reshape((n, b) + (1,) * len(feat_shape))
-            else:
-                scales01 = jax.random.uniform(
-                    fold_in_path(key, SALT_SCALE, i, k), (n, b) + (1,) * len(feat_shape)
-                )
-            perturbed = pivot[None] + scales01 * lam * dirs
-            if inj.fresh is not None:
-                fresh = inj.fresh[i, k]
-            else:
-                fresh = jax.random.normal(
-                    fold_in_path(key, SALT_FRESH, i, k), (n,) + pivot.shape, jnp.float32
-                )
-            # one Bernoulli per candidate slot, shared across the batch
-            # (edm/main.py:751: torch.rand(1) < (1 - eps))
-            if inj.explore01 is not None:
-                bern = inj.explore01[i, k]
-            else:
-                bern = jax.random.uniform(fold_in_path(key, SALT_BERN, i, k), (n,))
-            explore = (bern < explore_eps).reshape((n,) + (1,) * (pivot.ndim))
-            cands = jnp.where(explore, fresh, perturbed)
-
-            _, images = backend.expand(x, i, aux, cands)
-            scores = backend.score(images).reshape(n, b)
-            best = jnp.argmax(scores, axis=0)  # [B]
-            new_pivot = jnp.take_along_axis(
-                cands, best.reshape((1, b) + (1,) * len(feat_shape)), axis=0
-            )[0]
-            return new_pivot, new_pivot if record_noises else None
-
-        pivot, noises = jax.lax.scan(k_body, pivot, jnp.arange(k_iters, dtype=jnp.int32))
-        x_next = backend.advance(x, i, aux, pivot)
-        return x_next, noises
+        return zero_order_timestep(
+            backend, x, key, i, params, explore_eps=explore_eps,
+            record_noises=record_noises, noise=noise,
+        )
 
     steps = jnp.arange(backend.num_steps, dtype=jnp.int32)
     x, noises = jax.lax.scan(step_body, x0, steps)
@@ -126,4 +150,5 @@ def eps_greedy_search(backend, z, key, params: SearchParams, *, record_noises=Fa
     )
 
 
-__all__ = ["zero_order_search", "eps_greedy_search", "ZeroOrderResult"]
+__all__ = ["zero_order_search", "zero_order_timestep", "eps_greedy_search",
+           "ZeroOrderResult"]

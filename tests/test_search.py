@@ -99,6 +99,21 @@ def test_rejection_score_consistency():
     np.testing.assert_allclose(np.asarray(res.score), np.asarray(recomputed), rtol=1e-6)
 
 
+@pytest.mark.parametrize("method", ["zero_order", "eps_greedy"])
+def test_per_step_dispatch_equals_whole(method):
+    """dispatch='per_step' (one device program per timestep) must reproduce
+    the single-program search exactly, including recorded noises."""
+    backend = make_backend()
+    whole = run_search(method, backend, Z, jax.random.key(9), PARAMS,
+                       record_noises=True)
+    chunked = run_search(method, backend, Z, jax.random.key(9), PARAMS,
+                         record_noises=True, dispatch="per_step")
+    np.testing.assert_array_equal(np.asarray(whole.x), np.asarray(chunked.x))
+    np.testing.assert_array_equal(np.asarray(whole.score), np.asarray(chunked.score))
+    np.testing.assert_array_equal(
+        np.asarray(whole.best_noises), np.asarray(chunked.best_noises))
+
+
 def test_mcts_textbook_mode_runs():
     backend = make_backend()
     res = run_search("mcts", backend, Z, jax.random.key(5), PARAMS, mcts_rollout_batch=1)

@@ -43,6 +43,9 @@ def main(argv=None):
     ap.add_argument("--lambda_", type=float, default=0.15)
     ap.add_argument("--seeds", default="0,1")
     ap.add_argument("--methods", default="naive,rejection,beam,zero_order,eps_greedy,mcts")
+    ap.add_argument("--dispatch", default="auto", choices=["auto", "whole", "per_step"],
+                    help="auto: per-timestep dispatch for zero_order/eps_greedy on "
+                         "the large archs (keeps the device program K-sized)")
     ap.add_argument("--json", default=None)
     args = ap.parse_args(argv)
 
@@ -97,9 +100,14 @@ def main(argv=None):
     base_reward = None
     for method in args.methods.split(","):
         key = jax.random.key(1234)
+        if args.dispatch == "auto":
+            dispatch = ("per_step" if args.arch == "imagenet64"
+                        and method in ("zero_order", "eps_greedy") else "whole")
+        else:
+            dispatch = args.dispatch
         t0 = time.perf_counter()
         r = run_search(method, make_backend, z, key, params,
-                       backend_args=variables)
+                       backend_args=variables, dispatch=dispatch)
         r.score.block_until_ready()
         wall = time.perf_counter() - t0
         per_seed = np.asarray(r.score, np.float64)
