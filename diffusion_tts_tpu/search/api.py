@@ -84,6 +84,12 @@ def run_search(
             backend_args=backend_args, factory_mode=factory_mode,
             record_noises=record_noises, noise=noise, jit=jit,
         )
+    if dispatch == "per_step" and method == "mcts":
+        return _run_mcts_per_step(
+            backend, z, key, params,
+            backend_args=backend_args, factory_mode=factory_mode,
+            rollout_batch=mcts_rollout_batch, noise=noise, jit=jit,
+        )
 
     def go(z, key, bargs, inj):
         be = backend(bargs) if factory_mode else backend
@@ -169,6 +175,53 @@ def _run_zero_order_per_step(
         x=x, images=images, score=score,
         best_noises=jnp.stack(noises) if record_noises else None,
     )
+
+
+def _run_mcts_per_step(
+    backend, z, key, params, *, backend_args, factory_mode, rollout_batch,
+    noise, jit,
+):
+    """MCTS with one device dispatch per timestep — the tree arena stays on
+    device between dispatches; only the scan over timesteps moves to the
+    host. The flagship MCTS program is by far the largest single program
+    (every timestep embeds expansion + full rollouts-to-terminal)."""
+    import jax.numpy as jnp
+
+    from diffusion_tts_tpu.search.mcts import (
+        mcts_init, mcts_result, mcts_timestep,
+    )
+
+    def init(bargs, z, key, inj):
+        be = backend(bargs) if factory_mode else backend
+        return mcts_init(be, z, key, params, rollout_batch=rollout_batch, noise=inj)
+
+    def step(bargs, tree, noise_tab, i, key):
+        be = backend(bargs) if factory_mode else backend
+        return mcts_timestep(be, tree, noise_tab, key, i, params,
+                             rollout_batch=rollout_batch)
+
+    def finish(bargs, tree):
+        be = backend(bargs) if factory_mode else backend
+        x = mcts_result(tree).x
+        images = be.final_images(x)
+        return x, images, be.score(images)
+
+    init_fn, step_fn, finish_fn = (
+        (jax.jit(init), jax.jit(step), jax.jit(finish)) if jit
+        else (init, step, finish)
+    )
+    bargs = backend_args if factory_mode else None
+    be0 = backend(backend_args) if factory_mode else backend
+
+    tree, noise_tab = init_fn(bargs, z, key, noise)
+    for i in range(be0.num_steps):
+        tree = step_fn(bargs, tree, noise_tab, jnp.asarray(i, jnp.int32), key)
+    x, images, score = finish_fn(bargs, tree)
+
+    scorer = getattr(be0, "scorer", None)
+    if scorer is not None and not getattr(scorer, "final_score_is_exact", True):
+        score = be0.score(jax.device_get(images))
+    return SearchResult(x=x, images=images, score=score, best_noises=None)
 
 
 __all__ = ["run_search", "SearchResult", "METHODS"]

@@ -63,7 +63,17 @@ class _Tree(NamedTuple):
     root: jax.Array  # [B] int32
 
 
-def mcts_search(
+def _mcts_dims(params: SearchParams, rollout_batch: int | None):
+    b_exp = params.N  # branching factor (reference: b = method_params.N)
+    s_rollouts = params.S  # rollouts per timestep (reference: N = method_params.S)
+    if rollout_batch is None:
+        rollout_batch = s_rollouts  # reference's batched-simulation semantics
+    rollout_batch = min(rollout_batch, s_rollouts)
+    n_phases = -(-s_rollouts // rollout_batch)
+    return b_exp, rollout_batch, n_phases
+
+
+def mcts_init(
     backend,
     z: jax.Array,
     key: jax.Array,
@@ -71,24 +81,18 @@ def mcts_search(
     *,
     rollout_batch: int | None = None,
     noise: InjectedNoise | None = None,
-) -> MCTSResult:
-    b_exp = params.N  # branching factor (reference: b = method_params.N)
-    s_rollouts = params.S  # rollouts per timestep (reference: N = method_params.S)
-    if rollout_batch is None:
-        rollout_batch = s_rollouts  # reference's batched-simulation semantics
-    n_phases = -(-s_rollouts // rollout_batch)
-    rollout_batch = min(rollout_batch, s_rollouts)
-
+) -> tuple[_Tree, jax.Array]:
+    """Allocate the fixed-capacity tree arena and the per-depth noise table.
+    Split from mcts_search so run_search(dispatch="per_step") can drive one
+    mcts_timestep per device dispatch."""
+    b_exp, rollout_batch, n_phases = _mcts_dims(params, rollout_batch)
     bsz = z.shape[0]
     num_steps = backend.num_steps
     feat_shape = z.shape[1:]
-    feat_ndim = len(feat_shape)
     # Every iteration of the pipelined rollout scan consumes b_exp arena
     # slots (masked or not), rollout_batch+1 iterations per phase (the +1 is
     # the root-expansion pipeline fill).
     maxn = 1 + num_steps * n_phases * (rollout_batch + 1) * b_exp
-    max_path = num_steps + 2
-    b_idx = jnp.arange(bsz)
 
     x0 = backend.init_latents(z)
     # per-depth noise table, drawn once (edm/main.py:437-447); injectable
@@ -111,6 +115,34 @@ def mcts_search(
         count=jnp.asarray(1, jnp.int32),
         root=jnp.zeros((bsz,), jnp.int32),
     )
+    return tree, noise_tab
+
+
+def mcts_result(tree: _Tree) -> MCTSResult:
+    b_idx = jnp.arange(tree.parent.shape[0])
+    return MCTSResult(x=tree.states[b_idx, tree.root])
+
+
+def mcts_timestep(
+    backend,
+    tree: _Tree,
+    noise_tab: jax.Array,
+    key: jax.Array,
+    i: jax.Array,
+    params: SearchParams,
+    *,
+    rollout_batch: int | None = None,
+) -> _Tree:
+    """One MCTS timestep: (pipelined) root/leaf expansions, rollout phases
+    with terminal scoring + backprop, then root advance. `i` may be a traced
+    scalar, so one compile serves every timestep."""
+    b_exp, rollout_batch, n_phases = _mcts_dims(params, rollout_batch)
+    bsz = tree.parent.shape[0]
+    num_steps = backend.num_steps
+    feat_shape = tree.states.shape[2:]
+    feat_ndim = len(feat_shape)
+    max_path = num_steps + 2
+    b_idx = jnp.arange(bsz)
 
     def expand_nodes(tree: _Tree, nodes: jax.Array, do_expand: jax.Array) -> _Tree:
         """Add b_exp children to `nodes` [B] where do_expand [B]; always
@@ -212,19 +244,19 @@ def mcts_search(
         )
         return node, path, plen
 
-    def timestep_body(tree: _Tree, i: jax.Array) -> tuple[_Tree, None]:
-        # Root expansion (edm/main.py:464-514) is pipelined into the rollout
-        # scan: iteration q expands the node selected at iteration q-1 (the
-        # root at q=0 when unexpanded), so root- and leaf-expansion share ONE
-        # expand_nodes instantiation — the compile-heavy subgraph (two Heun
-        # UNet forwards) appears once in the timestep body instead of twice.
-        # Op ordering is identical to the unpipelined form: each selection
-        # still runs after the previous rollout's leaf expansion, and
-        # backprop still happens at phase end (stale-stats semantics).
-        # Cost note: every scan iteration pays the (possibly masked) expand;
-        # with rollout_batch < S each extra phase adds one masked fill slot,
-        # so the default rollout_batch=S (one phase — the reference's
-        # batched-simulation semantics) is the cost-neutral configuration.
+    # Root expansion (edm/main.py:464-514) is pipelined into the rollout
+    # scan: iteration q expands the node selected at iteration q-1 (the
+    # root at q=0 when unexpanded), so root- and leaf-expansion share ONE
+    # expand_nodes instantiation — the compile-heavy subgraph (two Heun
+    # UNet forwards) appears once in the timestep body instead of twice.
+    # Op ordering is identical to the unpipelined form: each selection
+    # still runs after the previous rollout's leaf expansion, and
+    # backprop still happens at phase end (stale-stats semantics).
+    # Cost note: every scan iteration pays the (possibly masked) expand;
+    # with rollout_batch < S each extra phase adds one masked fill slot,
+    # so the default rollout_batch=S (one phase — the reference's
+    # batched-simulation semantics) is the cost-neutral configuration.
+    if True:
         def phase_body(tree: _Tree, phase: jax.Array) -> tuple[_Tree, None]:
             def iter_body(carry, q):
                 tree, leaf, pend_mask, path, plen = carry
@@ -286,21 +318,40 @@ def mcts_search(
             phase_body, tree, jnp.arange(n_phases, dtype=jnp.int32)
         )
 
-        # (3) advance root to best-avg-reward child (edm/main.py:684-703)
-        ch = tree.children[b_idx, tree.root]
-        valid = ch >= 0
-        ch_safe = jnp.maximum(ch, 0)
-        v = tree.visits[b_idx[:, None], ch_safe].astype(jnp.float32)
-        rew = tree.reward[b_idx[:, None], ch_safe]
-        avg = jnp.where(valid & (v > 0), rew / jnp.maximum(v, 1.0), _NEG_INF)
-        best = jnp.argmax(avg, axis=1)
-        new_root = ch_safe[b_idx, best]
-        return tree._replace(root=new_root), None
+    # (3) advance root to best-avg-reward child (edm/main.py:684-703)
+    ch = tree.children[b_idx, tree.root]
+    valid = ch >= 0
+    ch_safe = jnp.maximum(ch, 0)
+    v = tree.visits[b_idx[:, None], ch_safe].astype(jnp.float32)
+    rew = tree.reward[b_idx[:, None], ch_safe]
+    avg = jnp.where(valid & (v > 0), rew / jnp.maximum(v, 1.0), _NEG_INF)
+    best = jnp.argmax(avg, axis=1)
+    new_root = ch_safe[b_idx, best]
+    return tree._replace(root=new_root)
+
+
+def mcts_search(
+    backend,
+    z: jax.Array,
+    key: jax.Array,
+    params: SearchParams,
+    *,
+    rollout_batch: int | None = None,
+    noise: InjectedNoise | None = None,
+) -> MCTSResult:
+    tree, noise_tab = mcts_init(
+        backend, z, key, params, rollout_batch=rollout_batch, noise=noise
+    )
+
+    def timestep_body(tree: _Tree, i: jax.Array) -> tuple[_Tree, None]:
+        return mcts_timestep(
+            backend, tree, noise_tab, key, i, params, rollout_batch=rollout_batch
+        ), None
 
     tree, _ = jax.lax.scan(
-        timestep_body, tree, jnp.arange(num_steps, dtype=jnp.int32)
+        timestep_body, tree, jnp.arange(backend.num_steps, dtype=jnp.int32)
     )
-    return MCTSResult(x=tree.states[b_idx, tree.root])
+    return mcts_result(tree)
 
 
-__all__ = ["mcts_search", "MCTSResult"]
+__all__ = ["mcts_search", "mcts_init", "mcts_timestep", "mcts_result", "MCTSResult"]

@@ -99,6 +99,15 @@ def test_rejection_score_consistency():
     np.testing.assert_allclose(np.asarray(res.score), np.asarray(recomputed), rtol=1e-6)
 
 
+def test_mcts_per_step_dispatch_equals_whole():
+    backend = make_backend()
+    whole = run_search("mcts", backend, Z, jax.random.key(9), PARAMS)
+    chunked = run_search("mcts", backend, Z, jax.random.key(9), PARAMS,
+                         dispatch="per_step")
+    np.testing.assert_array_equal(np.asarray(whole.x), np.asarray(chunked.x))
+    np.testing.assert_array_equal(np.asarray(whole.score), np.asarray(chunked.score))
+
+
 @pytest.mark.parametrize("method", ["zero_order", "eps_greedy"])
 def test_per_step_dispatch_equals_whole(method):
     """dispatch='per_step' (one device program per timestep) must reproduce

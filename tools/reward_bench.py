@@ -102,7 +102,8 @@ def main(argv=None):
         key = jax.random.key(1234)
         if args.dispatch == "auto":
             dispatch = ("per_step" if args.arch == "imagenet64"
-                        and method in ("zero_order", "eps_greedy") else "whole")
+                        and method in ("zero_order", "eps_greedy", "mcts")
+                        else "whole")
         else:
             dispatch = args.dispatch
         t0 = time.perf_counter()
