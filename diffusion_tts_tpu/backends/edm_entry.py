@@ -100,6 +100,7 @@ def generate_image_grid(
     class_idx: int | None = None,
     dtype=jnp.float32,
     record_noises: bool = False,
+    dispatch: str = "auto",
 ):
     """Run search and (optionally) save a gridh x gridw PNG. Returns
     (images01 [B,H,W,C], scores [B], best_noises)."""
@@ -146,9 +147,16 @@ def generate_image_grid(
         return EDMSearchBackend(sampler=sampler, scorer=sc,
                                 scorer_cond=labels if scorer_needs_labels else None)
 
+    if dispatch == "auto":
+        # Large-arch iterated searches get per-timestep dispatches: the
+        # whole-program form at paper-default K exceeds device program
+        # limits (see search/api.run_search dispatch docstring).
+        dispatch = ("per_step" if arch == "imagenet64"
+                    and method in ("zero_order", "eps_greedy", "mcts") else "whole")
     z = jax.random.normal(jax.random.fold_in(key, 0), (n_img, res, res, ch))
     result = run_search(method, make_backend, z, key, params or SearchParams(),
-                        backend_args=bargs, record_noises=record_noises)
+                        backend_args=bargs, record_noises=record_noises,
+                        dispatch=dispatch)
     print(f"Average score: {float(result.score.mean())}")
 
     if dest_path:
