@@ -9,12 +9,16 @@ import os
 # The environment pins JAX_PLATFORMS=axon (TPU tunnel) for every python
 # process via sitecustomize; tests must override it hard, not setdefault,
 # or the whole suite silently runs over the remote TPU tunnel.
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# DTTS_TEST_TPU=1 opts back into the ambient TPU backend for the
+# hardware-gated tests (tests/test_tpu_hardware.py) — run those alone.
+_USE_TPU = bool(os.environ.get("DTTS_TEST_TPU"))
+if not _USE_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 # Keep CPU tests deterministic and fast.
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
@@ -22,7 +26,8 @@ import jax
 
 # sitecustomize may already have imported jax with jax_platforms=axon baked
 # in; config.update takes effect as long as no backend has initialized yet.
-jax.config.update("jax_platforms", "cpu")
+if not _USE_TPU:
+    jax.config.update("jax_platforms", "cpu")
 
 # Persistent compile cache: the suite is dominated by recompiles of tiny
 # models; reruns drop from ~17 min to a few minutes.
