@@ -35,6 +35,8 @@ def main():
     ap.add_argument("--rounds", type=int, default=1, help="grad-accum rounds")
     ap.add_argument("--steps", type=int, default=8, help="timed optimizer steps")
     ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--no-donate", action="store_true",
+                    help="disable buffer donation (timing cross-check)")
     ap.add_argument("--json", default=None)
     args = ap.parse_args()
 
@@ -66,7 +68,8 @@ def main():
     cfg = TrainConfig(lr=1e-4, grad_accum_rounds=args.rounds, total_batch=total_batch)
     tx = make_optimizer(cfg)
     state = TrainState.create(variables["params"], tx)
-    step = jax.jit(make_train_step(EDMLoss(), denoise_apply, cfg, tx), donate_argnums=0)
+    step = jax.jit(make_train_step(EDMLoss(), denoise_apply, cfg, tx),
+                   donate_argnums=() if args.no_donate else (0,))
 
     images = jnp.asarray(
         rng.normal(size=(args.rounds, micro, res, res, ch)), jnp.float32)
@@ -79,10 +82,15 @@ def main():
     jax.block_until_ready(state.params)
     compile_s = time.perf_counter() - t0
 
+    # Timing barrier: end with a VALUE fetch of the last step's metrics.
+    # On the remote (axon) backend, block_until_ready returns early when
+    # many dependent dispatches are queued (measured 5.5 ms/"step" = 14x
+    # the chip's peak FLOP rate); a scalar fetch forces real completion —
+    # the last step depends on all previous ones, so the total is correct.
     t0 = time.perf_counter()
     for i in range(args.steps):
         state, metrics = step(state, images, labels, jax.random.key(2 + i))
-    jax.block_until_ready(state.params)
+    float(metrics["loss"])
     dt = time.perf_counter() - t0
 
     img_per_s = total_batch * args.steps / dt
