@@ -209,6 +209,7 @@ class StableDiffusionSearchPipeline:
         params: SearchParams | dict | None = None,
         key: jax.Array | None = None,
         record_noises: bool = False,
+        dispatch: str = "auto",
     ) -> tuple[np.ndarray, np.ndarray]:
         """Returns (images01 [B,H,W,3] in [0,1], scores [B]) — the search
         result counterpart of the reference's (output, max_score) tuple
@@ -251,9 +252,17 @@ class StableDiffusionSearchPipeline:
         z = jax.random.normal(
             jax.random.fold_in(key, 0xD1F), (b, h, w, self.unet.in_channels)
         )
+        if dispatch == "auto":
+            # Full-size SD iterated searches (50-100 steps x K iterations on
+            # the 860M UNet) exceed single-program device limits like the
+            # EDM flagship does; per-timestep dispatch is bit-identical.
+            dispatch = ("per_step"
+                        if self.unet.sample_size >= 64
+                        and method in ("zero_order", "eps_greedy", "mcts")
+                        else "whole")
         result: SearchResult = run_search(
             method, factory, z, key, params, backend_args=bargs,
-            record_noises=record_noises,
+            record_noises=record_noises, dispatch=dispatch,
         )
         return np.asarray(result.images), np.asarray(result.score)
 

@@ -82,18 +82,21 @@ def main():
     jax.block_until_ready(state.params)
     compile_s = time.perf_counter() - t0
 
-    # Timing barrier: end with a VALUE fetch of the last step's metrics.
-    # On the remote (axon) backend, block_until_ready returns early when
-    # many dependent dispatches are queued (measured 5.5 ms/"step" = 14x
-    # the chip's peak FLOP rate); a scalar fetch forces real completion —
-    # the last step depends on all previous ones, so the total is correct.
-    t0 = time.perf_counter()
+    # Timing: best-of-reps of ONE dispatch ended by a VALUE fetch. Two
+    # tunnel pathologies force this shape: block_until_ready returns early
+    # when dependent dispatches queue up (measured 14x-peak "throughput"),
+    # and the tunnel intermittently stalls for minutes mid-queue (averages
+    # meaningless). Use --rounds to amortize per-dispatch overhead: the
+    # grad-accum scan processes rounds*batch images inside one program.
+    best = float("inf")
     for i in range(args.steps):
-        state, metrics = step(state, images, labels, jax.random.key(2 + i))
-    float(metrics["loss"])
-    dt = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        _, metrics = step(state, images, labels, jax.random.key(2 + i))
+        float(metrics["loss"])
+        best = min(best, time.perf_counter() - t0)
+    dt = best
 
-    img_per_s = total_batch * args.steps / dt
+    img_per_s = total_batch / dt
     out = dict(
         arch=args.arch, params=int(sum(
             np.prod(l.shape) for l in jax.tree_util.tree_leaves(state.params))),
@@ -101,7 +104,7 @@ def main():
         device=str(jax.devices()[0].device_kind),
         img_per_s=round(img_per_s, 1),
         sec_per_kimg=round(1000.0 / img_per_s, 2),
-        step_ms=round(dt / args.steps * 1e3, 1),
+        step_ms=round(dt * 1e3, 1),
         compile_s=round(compile_s, 1),
         loss=float(metrics["loss"]),
     )
