@@ -44,6 +44,10 @@ class TrainConfig:
     ema_rampup_ratio: float = 0.05
     grad_accum_rounds: int = 1
     total_batch: int = 512  # global batch per step (nimg increment)
+    # Unroll the accumulation loop instead of lax.scan: larger HLO (rounds
+    # copies of fwd+bwd) but no while-loop — a workaround for backends that
+    # reject the scanned form (see PARITY.md round-2 notes).
+    accum_unroll: bool = False
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
@@ -87,9 +91,15 @@ def make_train_step(
             ), None
 
         zero_grads = jax.tree_util.tree_map(jnp.zeros_like, state.params)
-        (loss_sum, grad_sum), _ = jax.lax.scan(
-            accum, (jnp.zeros(()), zero_grads), (images, labels, keys)
-        )
+        if cfg.accum_unroll:
+            carry = (jnp.zeros(()), zero_grads)
+            for j in range(r):
+                carry, _ = accum(carry, (images[j], labels[j], keys[j]))
+            loss_sum, grad_sum = carry
+        else:
+            (loss_sum, grad_sum), _ = jax.lax.scan(
+                accum, (jnp.zeros(()), zero_grads), (images, labels, keys)
+            )
         loss = loss_sum / r
         grads = jax.tree_util.tree_map(
             lambda g: jnp.nan_to_num(g / r, nan=0.0, posinf=1e5, neginf=-1e5),

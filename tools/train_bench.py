@@ -37,6 +37,9 @@ def main():
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--no-donate", action="store_true",
                     help="disable buffer donation (timing cross-check)")
+    ap.add_argument("--unroll", action="store_true",
+                    help="unroll grad accumulation (workaround for backends "
+                         "that reject the scanned form; see TrainConfig)")
     ap.add_argument("--json", default=None)
     args = ap.parse_args()
 
@@ -65,7 +68,8 @@ def main():
                          augment_labels=augment_labels, train=True, rngs=rngs)
 
     total_batch = micro * args.rounds
-    cfg = TrainConfig(lr=1e-4, grad_accum_rounds=args.rounds, total_batch=total_batch)
+    cfg = TrainConfig(lr=1e-4, grad_accum_rounds=args.rounds, total_batch=total_batch,
+                      accum_unroll=args.unroll)
     tx = make_optimizer(cfg)
     state = TrainState.create(variables["params"], tx)
     step = jax.jit(make_train_step(EDMLoss(), denoise_apply, cfg, tx),
