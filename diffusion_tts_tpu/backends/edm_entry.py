@@ -147,12 +147,9 @@ def generate_image_grid(
         return EDMSearchBackend(sampler=sampler, scorer=sc,
                                 scorer_cond=labels if scorer_needs_labels else None)
 
-    if dispatch == "auto":
-        # Large-arch iterated searches get per-timestep dispatches: the
-        # whole-program form at paper-default K exceeds device program
-        # limits (see search/api.run_search dispatch docstring).
-        dispatch = ("per_step" if arch == "imagenet64"
-                    and method in ("zero_order", "eps_greedy", "mcts") else "whole")
+    # dispatch="auto" resolves inside run_search (per-timestep dispatches
+    # for iterated methods on >100M-parameter models — the whole-program
+    # form exceeds device program limits at paper-default K).
     z = jax.random.normal(jax.random.fold_in(key, 0), (n_img, res, res, ch))
     result = run_search(method, make_backend, z, key, params or SearchParams(),
                         backend_args=bargs, record_noises=record_noises,

@@ -23,6 +23,14 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG_INF = -1e30
 
 
+def _fit_tile(t: int, want: int) -> int:
+    """Largest divisor of t that is <= want."""
+    tile = min(want, t)
+    while t % tile:
+        tile -= 1
+    return tile
+
+
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, tk: int, scale: float):
     q = q_ref[0].astype(jnp.float32) * scale  # [TQ, D]
     t = k_ref.shape[1]
@@ -106,9 +114,11 @@ def _flash_attention_fwd_only(
     interpret: bool = False,
 ) -> jax.Array:
     b, t, h, d = q.shape
-    tq = min(tq, t)
-    tk = min(tk, t)
-    assert t % tq == 0 and t % tk == 0, f"T={t} must tile by {tq}/{tk}"
+    # largest divisor of T that fits the requested tile (T=4608 with a
+    # 1024 request tiles at 512, etc.); T is always a multiple of the
+    # feature-map width so a viable divisor exists
+    tq = _fit_tile(t, tq)
+    tk = _fit_tile(t, tk)
     scale = 1.0 / (d**0.5)
 
     def to_bh(x):

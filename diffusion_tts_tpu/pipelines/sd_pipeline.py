@@ -252,14 +252,8 @@ class StableDiffusionSearchPipeline:
         z = jax.random.normal(
             jax.random.fold_in(key, 0xD1F), (b, h, w, self.unet.in_channels)
         )
-        if dispatch == "auto":
-            # Full-size SD iterated searches (50-100 steps x K iterations on
-            # the 860M UNet) exceed single-program device limits like the
-            # EDM flagship does; per-timestep dispatch is bit-identical.
-            dispatch = ("per_step"
-                        if self.unet.sample_size >= 64
-                        and method in ("zero_order", "eps_greedy", "mcts")
-                        else "whole")
+        # dispatch="auto" resolves inside run_search: full-size SD iterated
+        # searches (the 860M UNet) get per-timestep dispatches.
         result: SearchResult = run_search(
             method, factory, z, key, params, backend_args=bargs,
             record_noises=record_noises, dispatch=dispatch,

@@ -70,13 +70,26 @@ def run_search(
     device program is K-iterations big instead of steps*K, which large
     models need to stay inside compiler/runtime limits (zero_order and
     eps_greedy at K=20 on the 296M flagship; other methods' programs are
-    already per-trajectory-sized and run whole)."""
+    already per-trajectory-sized and run whole). "auto" (default for
+    callers that pass it) picks per_step for the iterated methods when the
+    model weights passed via backend_args exceed ~100M parameters."""
     params = params or SearchParams()
     if method not in METHODS:
         raise ValueError(f"unknown method {method!r}; expected one of {METHODS}")
-    if dispatch not in ("whole", "per_step"):
-        raise ValueError(f"dispatch must be 'whole' or 'per_step', got {dispatch!r}")
+    if dispatch not in ("whole", "per_step", "auto"):
+        raise ValueError(
+            f"dispatch must be 'whole', 'per_step', or 'auto', got {dispatch!r}")
     factory_mode = backend_args is not _UNSET
+    if dispatch == "auto":
+        n_params = (
+            sum(int(getattr(l, "size", 0))
+                for l in jax.tree_util.tree_leaves(backend_args))
+            if factory_mode else 0
+        )
+        dispatch = ("per_step"
+                    if n_params > 100_000_000
+                    and method in ("zero_order", "eps_greedy", "mcts")
+                    else "whole")
 
     if dispatch == "per_step" and method in ("zero_order", "eps_greedy"):
         return _run_zero_order_per_step(
@@ -155,7 +168,9 @@ def _run_zero_order_per_step(
         images = be.final_images(x)
         return images, be.score(images)
 
-    step_fn = jax.jit(step) if jit else step
+    # donate the carried latents: each dispatch rebinds x, so in-place
+    # update keeps per-step memory flat (matches the whole-program scan)
+    step_fn = jax.jit(step, donate_argnums=(1,)) if jit else step
     finish_fn = jax.jit(finish) if jit else finish
     bargs = backend_args if factory_mode else None
     be0 = backend(backend_args) if factory_mode else backend
@@ -206,8 +221,11 @@ def _run_mcts_per_step(
         images = be.final_images(x)
         return x, images, be.score(images)
 
+    # donate the tree arena (arg 1): the [B, MAXN, *feat] states buffer is
+    # the dominant allocation; without donation every dispatch double-
+    # buffers it (noise_tab, arg 2, is reused across steps — not donated)
     init_fn, step_fn, finish_fn = (
-        (jax.jit(init), jax.jit(step), jax.jit(finish)) if jit
+        (jax.jit(init), jax.jit(step, donate_argnums=(1,)), jax.jit(finish)) if jit
         else (init, step, finish)
     )
     bargs = backend_args if factory_mode else None

@@ -256,67 +256,66 @@ def mcts_timestep(
     # with rollout_batch < S each extra phase adds one masked fill slot,
     # so the default rollout_batch=S (one phase — the reference's
     # batched-simulation semantics) is the cost-neutral configuration.
-    if True:
-        def phase_body(tree: _Tree, phase: jax.Array) -> tuple[_Tree, None]:
-            def iter_body(carry, q):
-                tree, leaf, pend_mask, path, plen = carry
-                first_child = tree.count  # ids of the children about to be added
-                tree = expand_nodes(tree, leaf, pend_mask)
-                # complete rollout q-1 (no-op garbage at q=0, sliced off below)
-                pick = jax.random.randint(
-                    fold_in_path(key, _SALT_PICK, i, phase, q - 1), (bsz,), 0, b_exp
-                )
-                was_leaf_expand = pend_mask & (q > 0)
-                node = jnp.where(was_leaf_expand, first_child + pick, leaf)
-                path = path.at[b_idx, jnp.where(was_leaf_expand, plen, max_path - 1)].set(
-                    jnp.where(was_leaf_expand, node, path[:, max_path - 1])
-                )
-                plen = plen + was_leaf_expand.astype(jnp.int32)
-                sim_x = tree.states[b_idx, node]
-                sim_d = tree.depth[b_idx, node]
-                out = (sim_x, sim_d, path)
-                # select the next leaf to expand (discarded at q=rollout_batch)
-                leaf_n, path_n, plen_n = select_path(tree)
-                do_expand = tree.depth[b_idx, leaf_n] < num_steps - 1
-                return (tree, leaf_n, do_expand, path_n, plen_n), out
-
-            need_root = (tree.n_children[b_idx, tree.root] == 0) & (phase == 0)
-            carry0 = (
-                tree, tree.root, need_root,
-                jnp.full((bsz, max_path), -1, jnp.int32).at[:, 0].set(tree.root),
-                jnp.ones((bsz,), jnp.int32),
+    def phase_body(tree: _Tree, phase: jax.Array) -> tuple[_Tree, None]:
+        def iter_body(carry, q):
+            tree, leaf, pend_mask, path, plen = carry
+            first_child = tree.count  # ids of the children about to be added
+            tree = expand_nodes(tree, leaf, pend_mask)
+            # complete rollout q-1 (no-op garbage at q=0, sliced off below)
+            pick = jax.random.randint(
+                fold_in_path(key, _SALT_PICK, i, phase, q - 1), (bsz,), 0, b_exp
             )
-            (tree, *_), (sim_x, sim_d, paths) = jax.lax.scan(
-                iter_body, carry0, jnp.arange(rollout_batch + 1, dtype=jnp.int32)
+            was_leaf_expand = pend_mask & (q > 0)
+            node = jnp.where(was_leaf_expand, first_child + pick, leaf)
+            path = path.at[b_idx, jnp.where(was_leaf_expand, plen, max_path - 1)].set(
+                jnp.where(was_leaf_expand, node, path[:, max_path - 1])
             )
-            # drop the q=0 pipeline-fill slot (root expansion, no rollout)
-            sim_x, sim_d, paths = sim_x[1:], sim_d[1:], paths[1:]
-            # batched zero-noise simulations (edm/main.py:616-645)
-            r = rollout_batch
-            sim_x_flat = sim_x.reshape((r * bsz,) + feat_shape)
-            sim_d_flat = sim_d.reshape(r * bsz)
-            images = backend.rollout(sim_x_flat, sim_d_flat)
-            rewards = backend.score(images).reshape(r, bsz)
+            plen = plen + was_leaf_expand.astype(jnp.int32)
+            sim_x = tree.states[b_idx, node]
+            sim_d = tree.depth[b_idx, node]
+            out = (sim_x, sim_d, path)
+            # select the next leaf to expand (discarded at q=rollout_batch)
+            leaf_n, path_n, plen_n = select_path(tree)
+            do_expand = tree.depth[b_idx, leaf_n] < num_steps - 1
+            return (tree, leaf_n, do_expand, path_n, plen_n), out
 
-            # deferred backprop (stale-stats semantics, edm/main.py:661-681)
-            def backprop(tree: _Tree, inp):
-                path, rew = inp  # [B, max_path], [B]
-                def slot(s, tr):
-                    idx = path[:, s]
-                    ok = idx >= 0
-                    idx_safe = jnp.maximum(idx, 0)
-                    reward = tr.reward.at[b_idx, idx_safe].add(jnp.where(ok, rew, 0.0))
-                    visits = tr.visits.at[b_idx, idx_safe].add(jnp.where(ok, 1, 0))
-                    return tr._replace(reward=reward, visits=visits)
-                tree = jax.lax.fori_loop(0, max_path, slot, tree)
-                return tree, None
+        need_root = (tree.n_children[b_idx, tree.root] == 0) & (phase == 0)
+        carry0 = (
+            tree, tree.root, need_root,
+            jnp.full((bsz, max_path), -1, jnp.int32).at[:, 0].set(tree.root),
+            jnp.ones((bsz,), jnp.int32),
+        )
+        (tree, *_), (sim_x, sim_d, paths) = jax.lax.scan(
+            iter_body, carry0, jnp.arange(rollout_batch + 1, dtype=jnp.int32)
+        )
+        # drop the q=0 pipeline-fill slot (root expansion, no rollout)
+        sim_x, sim_d, paths = sim_x[1:], sim_d[1:], paths[1:]
+        # batched zero-noise simulations (edm/main.py:616-645)
+        r = rollout_batch
+        sim_x_flat = sim_x.reshape((r * bsz,) + feat_shape)
+        sim_d_flat = sim_d.reshape(r * bsz)
+        images = backend.rollout(sim_x_flat, sim_d_flat)
+        rewards = backend.score(images).reshape(r, bsz)
 
-            tree, _ = jax.lax.scan(backprop, tree, (paths, rewards))
+        # deferred backprop (stale-stats semantics, edm/main.py:661-681)
+        def backprop(tree: _Tree, inp):
+            path, rew = inp  # [B, max_path], [B]
+            def slot(s, tr):
+                idx = path[:, s]
+                ok = idx >= 0
+                idx_safe = jnp.maximum(idx, 0)
+                reward = tr.reward.at[b_idx, idx_safe].add(jnp.where(ok, rew, 0.0))
+                visits = tr.visits.at[b_idx, idx_safe].add(jnp.where(ok, 1, 0))
+                return tr._replace(reward=reward, visits=visits)
+            tree = jax.lax.fori_loop(0, max_path, slot, tree)
             return tree, None
 
-        tree, _ = jax.lax.scan(
-            phase_body, tree, jnp.arange(n_phases, dtype=jnp.int32)
-        )
+        tree, _ = jax.lax.scan(backprop, tree, (paths, rewards))
+        return tree, None
+
+    tree, _ = jax.lax.scan(
+        phase_body, tree, jnp.arange(n_phases, dtype=jnp.int32)
+    )
 
     # (3) advance root to best-avg-reward child (edm/main.py:684-703)
     ch = tree.children[b_idx, tree.root]

@@ -94,7 +94,8 @@ def make_train_step(
         if cfg.accum_unroll:
             carry = (jnp.zeros(()), zero_grads)
             for j in range(r):
-                carry, _ = accum(carry, (images[j], labels[j], keys[j]))
+                lab_j = None if labels is None else labels[j]
+                carry, _ = accum(carry, (images[j], lab_j, keys[j]))
             loss_sum, grad_sum = carry
         else:
             (loss_sum, grad_sum), _ = jax.lax.scan(

@@ -11,7 +11,7 @@ import os
 # or the whole suite silently runs over the remote TPU tunnel.
 # DTTS_TEST_TPU=1 opts back into the ambient TPU backend for the
 # hardware-gated tests (tests/test_tpu_hardware.py) — run those alone.
-_USE_TPU = bool(os.environ.get("DTTS_TEST_TPU"))
+_USE_TPU = os.environ.get("DTTS_TEST_TPU", "").lower() not in ("", "0", "false")
 if not _USE_TPU:
     os.environ["JAX_PLATFORMS"] = "cpu"
     flags = os.environ.get("XLA_FLAGS", "")

@@ -100,15 +100,9 @@ def main(argv=None):
     base_reward = None
     for method in args.methods.split(","):
         key = jax.random.key(1234)
-        if args.dispatch == "auto":
-            dispatch = ("per_step" if args.arch == "imagenet64"
-                        and method in ("zero_order", "eps_greedy", "mcts")
-                        else "whole")
-        else:
-            dispatch = args.dispatch
         t0 = time.perf_counter()
         r = run_search(method, make_backend, z, key, params,
-                       backend_args=variables, dispatch=dispatch)
+                       backend_args=variables, dispatch=args.dispatch)
         r.score.block_until_ready()
         wall = time.perf_counter() - t0
         per_seed = np.asarray(r.score, np.float64)

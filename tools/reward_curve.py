@@ -87,7 +87,8 @@ def main():
         p = SearchParams().replace(**over)
         key = jax.random.key(1234)
         t0 = time.perf_counter()
-        r = run_search(method, make_backend, z, key, p, backend_args=variables)
+        r = run_search(method, make_backend, z, key, p, backend_args=variables,
+                       dispatch="auto")
         r.score.block_until_ready()
         wall = time.perf_counter() - t0
         per_seed = np.asarray(r.score, np.float64)

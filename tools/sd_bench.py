@@ -39,7 +39,6 @@ def main():
     from diffusion_tts_tpu.models.sd_unet import UNet2DConditionModel
     from diffusion_tts_tpu.models.sd_vae import AutoencoderKL
     from diffusion_tts_tpu.utils.cache import enable_compilation_cache
-    from bench import _peak_flops
 
     enable_compilation_cache()
     tiny = args.tiny or jax.default_backend() == "cpu"

@@ -95,7 +95,8 @@ def main():
     best = float("inf")
     for i in range(args.steps):
         t0 = time.perf_counter()
-        _, metrics = step(state, images, labels, jax.random.key(2 + i))
+        # rebind: the input state was donated to this dispatch
+        state, metrics = step(state, images, labels, jax.random.key(2 + i))
         float(metrics["loss"])
         best = min(best, time.perf_counter() - t0)
     dt = best
