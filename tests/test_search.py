@@ -99,6 +99,34 @@ def test_rejection_score_consistency():
     np.testing.assert_allclose(np.asarray(res.score), np.asarray(recomputed), rtol=1e-6)
 
 
+def test_auto_dispatch_resolution(monkeypatch):
+    """dispatch='auto' picks per_step only for iterated methods with a
+    >100M-parameter backend_args pytree."""
+    import diffusion_tts_tpu.search.api as api
+
+    calls = []
+
+    def fake_per_step(method, *a, **k):
+        calls.append(method)
+        return api.SearchResult(x=Z, images=Z, score=jnp.zeros(Z.shape[0]))
+
+    monkeypatch.setattr(api, "_run_zero_order_per_step", fake_per_step)
+
+    class BigLeaf:
+        size = 200_000_000
+
+    backend = make_backend()
+    factory = lambda bargs: backend
+    # big params + iterated method -> per_step
+    api.run_search("eps_greedy", factory, Z, jax.random.key(0), PARAMS,
+                   backend_args=BigLeaf(), dispatch="auto")
+    assert calls == ["eps_greedy"]
+    # small params -> whole (the real engine runs; per_step stub not called)
+    r = api.run_search("eps_greedy", factory, Z, jax.random.key(0), PARAMS,
+                       backend_args=None, dispatch="auto")
+    assert calls == ["eps_greedy"] and np.all(np.isfinite(np.asarray(r.score)))
+
+
 def test_mcts_per_step_dispatch_equals_whole():
     backend = make_backend()
     whole = run_search("mcts", backend, Z, jax.random.key(9), PARAMS)
