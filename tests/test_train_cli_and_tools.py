@@ -181,3 +181,50 @@ class TestLMDB:
             assert len(pngs) == 4
             with zf.open(pngs[0]) as f:
                 assert np.asarray(Image.open(f)).shape == (8, 8, 3)
+
+
+class TestBenchToolSmokes:
+    """The perf/reward tooling must stay runnable: every tool has a tiny
+    CPU mode exercised here end-to-end via its real CLI."""
+
+    def test_train_bench_tiny(self):
+        r = run_cli("tools/train_bench.py", "--arch", "tiny", "--batch", "4",
+                    "--steps", "1")
+        assert r.returncode == 0, r.stderr[-800:]
+        out = json.loads(r.stdout.strip().splitlines()[-1])
+        assert out["arch"] == "tiny" and np.isfinite(out["loss"])
+
+    def test_train_bench_tiny_unroll_rounds(self):
+        r = run_cli("tools/train_bench.py", "--arch", "tiny", "--batch", "4",
+                    "--rounds", "2", "--steps", "1", "--unroll")
+        assert r.returncode == 0, r.stderr[-800:]
+        out = json.loads(r.stdout.strip().splitlines()[-1])
+        assert out["batch"] == 8  # rounds x micro
+
+    def test_sd_bench_tiny(self):
+        r = run_cli("tools/sd_bench.py", "--tiny", "--iters", "1")
+        assert r.returncode == 0, r.stderr[-800:]
+        out = json.loads(r.stdout.strip().splitlines()[-1])
+        assert out["unit"] == "NFE/s" and out["value"] > 0
+
+    def test_reward_curve_quick(self, tmp_path):
+        dest = str(tmp_path / "curve.json")
+        r = run_cli("tools/reward_curve.py", "--arch", "tiny", "--quick",
+                    "--seeds", "0,1", "--steps", "3", "--json", dest)
+        assert r.returncode == 0, r.stderr[-800:]
+        data = json.loads(open(dest).read())
+        assert {row["method"] for row in data["rows"]} == {"eps_greedy", "rejection"}
+        assert "RANDOM-INIT" in data["weights"]
+
+    def test_perf_probe_tiny(self):
+        r = run_cli("tools/perf_probe.py", "--tiny", "--batches", "1",
+                    "--inner", "1", "--reps", "1")
+        assert r.returncode == 0, r.stderr[-800:]
+        rows = [json.loads(l) for l in r.stdout.strip().splitlines() if l.startswith("{")]
+        assert any("pct_sol" in row for row in rows)
+
+    def test_mcts_compile_probe_tiny(self):
+        r = run_cli("tools/mcts_compile_probe.py", "--arch", "tiny", "--steps",
+                    "3", "--S", "2", "--run")
+        assert r.returncode == 0, r.stderr[-800:]
+        assert "run_s=" in r.stdout
