@@ -210,6 +210,7 @@ class StableDiffusionSearchPipeline:
         key: jax.Array | None = None,
         record_noises: bool = False,
         dispatch: str = "auto",
+        chunk_steps: int | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Returns (images01 [B,H,W,3] in [0,1], scores [B]) — the search
         result counterpart of the reference's (output, max_score) tuple
@@ -253,10 +254,11 @@ class StableDiffusionSearchPipeline:
             jax.random.fold_in(key, 0xD1F), (b, h, w, self.unet.in_channels)
         )
         # dispatch="auto" resolves inside run_search: full-size SD iterated
-        # searches (the 860M UNet) get per-timestep dispatches.
+        # searches (the 860M UNet) get chunked per-timestep-scan dispatches.
         result: SearchResult = run_search(
             method, factory, z, key, params, backend_args=bargs,
             record_noises=record_noises, dispatch=dispatch,
+            chunk_steps=chunk_steps,
         )
         return np.asarray(result.images), np.asarray(result.score)
 

@@ -52,6 +52,7 @@ def run_search(
     noise: InjectedNoise | None = None,
     jit: bool = True,
     dispatch: str = "whole",
+    chunk_steps: int | None = None,
 ) -> SearchResult:
     """Run one search method end-to-end. z: [B, ...] unit-variance latents;
     the final image and score are always computed (edm/main.py:869-877).
@@ -70,15 +71,21 @@ def run_search(
     device program is K-iterations big instead of steps*K, which large
     models need to stay inside compiler/runtime limits (zero_order and
     eps_greedy at K=20 on the 296M flagship; other methods' programs are
-    already per-trajectory-sized and run whole). "auto" (default for
-    callers that pass it) picks per_step for the iterated methods when the
-    model weights passed via backend_args exceed ~100M parameters."""
+    already per-trajectory-sized and run whole). "chunked" is the middle
+    point: ONE compiled lax.scan over ``chunk_steps`` timesteps, dispatched
+    ceil(steps/chunk) times — per-dispatch launch overhead is amortized over
+    the chunk while the device program stays chunk*K-sized. chunk_steps
+    defaults to the largest divisor of num_steps <= 6 so a single compile
+    covers every dispatch (a non-divisor chunk_steps pays one extra compile
+    for the remainder chunk). "auto" picks chunked for the iterated methods
+    when the model weights passed via backend_args exceed ~100M parameters."""
     params = params or SearchParams()
     if method not in METHODS:
         raise ValueError(f"unknown method {method!r}; expected one of {METHODS}")
-    if dispatch not in ("whole", "per_step", "auto"):
+    if dispatch not in ("whole", "per_step", "chunked", "auto"):
         raise ValueError(
-            f"dispatch must be 'whole', 'per_step', or 'auto', got {dispatch!r}")
+            "dispatch must be 'whole', 'per_step', 'chunked', or 'auto', "
+            f"got {dispatch!r}")
     factory_mode = backend_args is not _UNSET
     if dispatch == "auto":
         n_params = (
@@ -86,22 +93,24 @@ def run_search(
                 for l in jax.tree_util.tree_leaves(backend_args))
             if factory_mode else 0
         )
-        dispatch = ("per_step"
+        dispatch = ("chunked"
                     if n_params > 100_000_000
                     and method in ("zero_order", "eps_greedy", "mcts")
                     else "whole")
 
-    if dispatch == "per_step" and method in ("zero_order", "eps_greedy"):
-        return _run_zero_order_per_step(
+    if dispatch in ("per_step", "chunked") and method in ("zero_order", "eps_greedy"):
+        return _run_zero_order_chunked(
             method, backend, z, key, params,
             backend_args=backend_args, factory_mode=factory_mode,
             record_noises=record_noises, noise=noise, jit=jit,
+            chunk=1 if dispatch == "per_step" else chunk_steps,
         )
-    if dispatch == "per_step" and method == "mcts":
-        return _run_mcts_per_step(
+    if dispatch in ("per_step", "chunked") and method == "mcts":
+        return _run_mcts_chunked(
             backend, z, key, params,
             backend_args=backend_args, factory_mode=factory_mode,
             rollout_batch=mcts_rollout_batch, noise=noise, jit=jit,
+            chunk=1 if dispatch == "per_step" else chunk_steps,
         )
 
     def go(z, key, bargs, inj):
@@ -142,26 +151,55 @@ def run_search(
     return SearchResult(x=x, images=images, score=score, best_noises=noises)
 
 
-def _run_zero_order_per_step(
+def default_chunk_steps(num_steps: int, target: int = 6) -> int:
+    """Largest divisor of num_steps <= target: every dispatch reuses ONE
+    compiled chunk program (no remainder-length second compile). 18 steps ->
+    6 (3 dispatches); 50 -> 5; a prime step count degrades to 1 (= per_step)."""
+    for c in range(min(target, num_steps), 0, -1):
+        if num_steps % c == 0:
+            return c
+    return 1
+
+
+def _chunk_schedule(num_steps: int, chunk: int | None):
+    c = chunk if chunk else default_chunk_steps(num_steps)
+    c = max(1, min(int(c), num_steps))
+    starts, lengths = [], []
+    i = 0
+    while i < num_steps:
+        starts.append(i)
+        lengths.append(min(c, num_steps - i))
+        i += lengths[-1]
+    return starts, lengths
+
+
+def _run_zero_order_chunked(
     method, backend, z, key, params, *, backend_args, factory_mode,
-    record_noises, noise, jit,
+    record_noises, noise, jit, chunk,
 ):
-    """zero_order/eps_greedy with one device dispatch per timestep. The
-    compiled step function is shared by all timesteps (the step index is a
-    traced scalar), so there is exactly one compile; only the outer scan is
-    replaced by a host loop."""
+    """zero_order/eps_greedy with one device dispatch per chunk of timesteps
+    (chunk=1 == the old per_step mode). The chunk start index is a traced
+    scalar, so one compile serves every equal-length chunk; a lax.scan over
+    the chunk amortizes the per-dispatch launch/tunnel overhead that made
+    per_step 3.5x slower than the steady-state expansion unit."""
+    import functools
+
     import jax.numpy as jnp
 
     from diffusion_tts_tpu.search.zero_order import zero_order_timestep
 
     eps_val = params.eps if method == "eps_greedy" else 0.0
 
-    def step(bargs, x, i, key, inj):
+    def run_chunk(bargs, x, start, key, inj, *, length):
         be = backend(bargs) if factory_mode else backend
-        return zero_order_timestep(
-            be, x, key, i, params, explore_eps=eps_val,
-            record_noises=record_noises, noise=inj,
-        )
+
+        def body(x, off):
+            return zero_order_timestep(
+                be, x, key, start + off, params, explore_eps=eps_val,
+                record_noises=record_noises, noise=inj,
+            )
+
+        return jax.lax.scan(body, x, jnp.arange(length, dtype=jnp.int32))
 
     def finish(bargs, x):
         be = backend(bargs) if factory_mode else backend
@@ -170,15 +208,22 @@ def _run_zero_order_per_step(
 
     # donate the carried latents: each dispatch rebinds x, so in-place
     # update keeps per-step memory flat (matches the whole-program scan)
-    step_fn = jax.jit(step, donate_argnums=(1,)) if jit else step
+    fns: dict[int, Any] = {}
+
+    def chunk_fn(length):
+        if length not in fns:
+            f = functools.partial(run_chunk, length=length)
+            fns[length] = jax.jit(f, donate_argnums=(1,)) if jit else f
+        return fns[length]
+
     finish_fn = jax.jit(finish) if jit else finish
     bargs = backend_args if factory_mode else None
     be0 = backend(backend_args) if factory_mode else backend
 
     x = be0.init_latents(z)
     noises = []
-    for i in range(be0.num_steps):
-        x, nz = step_fn(bargs, x, jnp.asarray(i, jnp.int32), key, noise)
+    for start, length in zip(*_chunk_schedule(be0.num_steps, chunk)):
+        x, nz = chunk_fn(length)(bargs, x, jnp.asarray(start, jnp.int32), key, noise)
         if record_noises:
             noises.append(nz)
     images, score = finish_fn(bargs, x)
@@ -188,18 +233,22 @@ def _run_zero_order_per_step(
         score = be0.score(jax.device_get(images))
     return SearchResult(
         x=x, images=images, score=score,
-        best_noises=jnp.stack(noises) if record_noises else None,
+        best_noises=jnp.concatenate(noises, axis=0) if record_noises else None,
     )
 
 
-def _run_mcts_per_step(
+def _run_mcts_chunked(
     backend, z, key, params, *, backend_args, factory_mode, rollout_batch,
-    noise, jit,
+    noise, jit, chunk,
 ):
-    """MCTS with one device dispatch per timestep — the tree arena stays on
-    device between dispatches; only the scan over timesteps moves to the
-    host. The flagship MCTS program is by far the largest single program
-    (every timestep embeds expansion + full rollouts-to-terminal)."""
+    """MCTS with one device dispatch per chunk of timesteps (chunk=1 == the
+    old per_step mode) — the tree arena stays on device between dispatches;
+    only the scan over chunks moves to the host. The flagship MCTS program
+    is by far the largest single program (every timestep embeds expansion +
+    full rollouts-to-terminal), so its chunk default is the per_step-safe 1
+    unless the caller asks for more."""
+    import functools
+
     import jax.numpy as jnp
 
     from diffusion_tts_tpu.search.mcts import (
@@ -210,10 +259,15 @@ def _run_mcts_per_step(
         be = backend(bargs) if factory_mode else backend
         return mcts_init(be, z, key, params, rollout_batch=rollout_batch, noise=inj)
 
-    def step(bargs, tree, noise_tab, i, key):
+    def run_chunk(bargs, tree, noise_tab, start, key, *, length):
         be = backend(bargs) if factory_mode else backend
-        return mcts_timestep(be, tree, noise_tab, key, i, params,
-                             rollout_batch=rollout_batch)
+
+        def body(tree, off):
+            return mcts_timestep(be, tree, noise_tab, key, start + off, params,
+                                 rollout_batch=rollout_batch), None
+
+        tree, _ = jax.lax.scan(body, tree, jnp.arange(length, dtype=jnp.int32))
+        return tree
 
     def finish(bargs, tree):
         be = backend(bargs) if factory_mode else backend
@@ -224,16 +278,25 @@ def _run_mcts_per_step(
     # donate the tree arena (arg 1): the [B, MAXN, *feat] states buffer is
     # the dominant allocation; without donation every dispatch double-
     # buffers it (noise_tab, arg 2, is reused across steps — not donated)
-    init_fn, step_fn, finish_fn = (
-        (jax.jit(init), jax.jit(step, donate_argnums=(1,)), jax.jit(finish)) if jit
-        else (init, step, finish)
+    fns: dict[int, Any] = {}
+
+    def chunk_fn(length):
+        if length not in fns:
+            f = functools.partial(run_chunk, length=length)
+            fns[length] = jax.jit(f, donate_argnums=(1,)) if jit else f
+        return fns[length]
+
+    init_fn, finish_fn = (
+        (jax.jit(init), jax.jit(finish)) if jit else (init, finish)
     )
     bargs = backend_args if factory_mode else None
     be0 = backend(backend_args) if factory_mode else backend
 
     tree, noise_tab = init_fn(bargs, z, key, noise)
-    for i in range(be0.num_steps):
-        tree = step_fn(bargs, tree, noise_tab, jnp.asarray(i, jnp.int32), key)
+    # MCTS device programs are rollout-sized; default to per_step-safe 1.
+    for start, length in zip(*_chunk_schedule(be0.num_steps, chunk or 1)):
+        tree = chunk_fn(length)(bargs, tree, noise_tab,
+                                jnp.asarray(start, jnp.int32), key)
     x, images, score = finish_fn(bargs, tree)
 
     scorer = getattr(be0, "scorer", None)
@@ -242,4 +305,4 @@ def _run_mcts_per_step(
     return SearchResult(x=x, images=images, score=score, best_noises=None)
 
 
-__all__ = ["run_search", "SearchResult", "METHODS"]
+__all__ = ["run_search", "SearchResult", "METHODS", "default_chunk_steps"]

@@ -100,31 +100,66 @@ def test_rejection_score_consistency():
 
 
 def test_auto_dispatch_resolution(monkeypatch):
-    """dispatch='auto' picks per_step only for iterated methods with a
+    """dispatch='auto' picks chunked only for iterated methods with a
     >100M-parameter backend_args pytree."""
     import diffusion_tts_tpu.search.api as api
 
     calls = []
 
-    def fake_per_step(method, *a, **k):
-        calls.append(method)
+    def fake_chunked(method, *a, **k):
+        calls.append((method, k.get("chunk")))
         return api.SearchResult(x=Z, images=Z, score=jnp.zeros(Z.shape[0]))
 
-    monkeypatch.setattr(api, "_run_zero_order_per_step", fake_per_step)
+    monkeypatch.setattr(api, "_run_zero_order_chunked", fake_chunked)
 
     class BigLeaf:
         size = 200_000_000
 
     backend = make_backend()
     factory = lambda bargs: backend
-    # big params + iterated method -> per_step
+    # big params + iterated method -> chunked (auto chunk size)
     api.run_search("eps_greedy", factory, Z, jax.random.key(0), PARAMS,
                    backend_args=BigLeaf(), dispatch="auto")
-    assert calls == ["eps_greedy"]
-    # small params -> whole (the real engine runs; per_step stub not called)
+    assert calls == [("eps_greedy", None)]
+    # small params -> whole (the real engine runs; chunked stub not called)
     r = api.run_search("eps_greedy", factory, Z, jax.random.key(0), PARAMS,
                        backend_args=None, dispatch="auto")
-    assert calls == ["eps_greedy"] and np.all(np.isfinite(np.asarray(r.score)))
+    assert calls == [("eps_greedy", None)] and np.all(np.isfinite(np.asarray(r.score)))
+
+
+def test_default_chunk_steps():
+    from diffusion_tts_tpu.search.api import default_chunk_steps
+
+    assert default_chunk_steps(18) == 6
+    assert default_chunk_steps(50) == 5
+    assert default_chunk_steps(17) == 1  # prime -> per_step degenerate
+    assert default_chunk_steps(4) == 4  # whole fits in one chunk
+
+
+@pytest.mark.parametrize("method", ["zero_order", "eps_greedy"])
+@pytest.mark.parametrize("chunk", [None, 4])  # divisor default (3 for 6 steps) and remainder (4+2)
+def test_chunked_dispatch_equals_whole(method, chunk):
+    """dispatch='chunked' (one lax.scan program per chunk of timesteps) must
+    reproduce the single-program search exactly, including recorded noises,
+    for both the single-compile divisor default and a remainder chunking."""
+    backend = make_backend()
+    whole = run_search(method, backend, Z, jax.random.key(9), PARAMS,
+                       record_noises=True)
+    chunked = run_search(method, backend, Z, jax.random.key(9), PARAMS,
+                         record_noises=True, dispatch="chunked", chunk_steps=chunk)
+    np.testing.assert_array_equal(np.asarray(whole.x), np.asarray(chunked.x))
+    np.testing.assert_array_equal(np.asarray(whole.score), np.asarray(chunked.score))
+    np.testing.assert_array_equal(
+        np.asarray(whole.best_noises), np.asarray(chunked.best_noises))
+
+
+def test_mcts_chunked_dispatch_equals_whole():
+    backend = make_backend()
+    whole = run_search("mcts", backend, Z, jax.random.key(9), PARAMS)
+    chunked = run_search("mcts", backend, Z, jax.random.key(9), PARAMS,
+                         dispatch="chunked", chunk_steps=3)
+    np.testing.assert_array_equal(np.asarray(whole.x), np.asarray(chunked.x))
+    np.testing.assert_array_equal(np.asarray(whole.score), np.asarray(chunked.score))
 
 
 def test_mcts_per_step_dispatch_equals_whole():

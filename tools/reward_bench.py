@@ -43,9 +43,12 @@ def main(argv=None):
     ap.add_argument("--lambda_", type=float, default=0.15)
     ap.add_argument("--seeds", default="0,1")
     ap.add_argument("--methods", default="naive,rejection,beam,zero_order,eps_greedy,mcts")
-    ap.add_argument("--dispatch", default="auto", choices=["auto", "whole", "per_step"],
-                    help="auto: per-timestep dispatch for zero_order/eps_greedy on "
-                         "the large archs (keeps the device program K-sized)")
+    ap.add_argument("--dispatch", default="auto",
+                    choices=["auto", "whole", "per_step", "chunked"],
+                    help="auto: chunked dispatch for zero_order/eps_greedy on "
+                         "the large archs (keeps the device program chunk*K-sized)")
+    ap.add_argument("--chunk_steps", type=int, default=None,
+                    help="timesteps per dispatch for dispatch=chunked")
     ap.add_argument("--json", default=None)
     args = ap.parse_args(argv)
 
@@ -102,7 +105,8 @@ def main(argv=None):
         key = jax.random.key(1234)
         t0 = time.perf_counter()
         r = run_search(method, make_backend, z, key, params,
-                       backend_args=variables, dispatch=args.dispatch)
+                       backend_args=variables, dispatch=args.dispatch,
+                       chunk_steps=args.chunk_steps)
         r.score.block_until_ready()
         wall = time.perf_counter() - t0
         per_seed = np.asarray(r.score, np.float64)
