@@ -111,6 +111,22 @@ def _set(tree: dict, path: list[str], value) -> None:
     node[path[-1]] = value
 
 
+def migrate_qkv_layout(tree: dict) -> dict:
+    """Migrate a version-1 flax tree (reference-interleaved qkv channels) to
+    the current contiguous-thirds layout (CKPT_FORMAT_VERSION 2,
+    training/checkpoints.py): applies _deinterleave_qkv to every ``qkv``
+    module's kernel output axis and bias. Idempotence is NOT guaranteed —
+    run exactly once, on a tree known to be version 1."""
+    def walk(node, under_qkv=False):
+        if isinstance(node, Mapping):
+            return {k: walk(v, under_qkv or k == "qkv") for k, v in node.items()}
+        if under_qkv and hasattr(node, "shape") and node.shape and node.shape[-1] % 3 == 0:
+            return _deinterleave_qkv(np.asarray(node), axis=-1)
+        return node
+
+    return walk(tree)
+
+
 def state_dict_from_npz(path: str) -> dict[str, np.ndarray]:
     """Load a ``{torch_name: array}`` dict from an .npz file (the exchange
     format tools/make_goldens.py and the checkpoint exporter emit)."""
@@ -118,4 +134,4 @@ def state_dict_from_npz(path: str) -> dict[str, np.ndarray]:
         return {k: f[k] for k in f.files}
 
 
-__all__ = ["convert_state_dict", "state_dict_from_npz"]
+__all__ = ["convert_state_dict", "state_dict_from_npz", "migrate_qkv_layout"]

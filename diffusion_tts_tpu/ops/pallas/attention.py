@@ -104,7 +104,21 @@ def flash_attention(
     the whole-K single-block form beats 512/512 by ~8% and XLA by ~35%
     (tools/attn_bench.py); larger T (SD's 4096) still streams K/V in 1024
     blocks. Differentiable: backward is the VJP of the equivalent XLA
-    attention (the kernel implements only the forward)."""
+    attention (the kernel implements only the forward).
+
+    Tile fitting degrades to the largest divisor of T; an unanticipated T
+    (odd/prime — never produced by square feature maps) would fit tiles as
+    small as 1, a pathologically slow kernel. Such shapes fall back to the
+    XLA reference attention with a warning instead."""
+    t = q.shape[1]
+    fitted = min(_fit_tile(t, tq), _fit_tile(t, tk))
+    if fitted < 128 and fitted < t:
+        import warnings
+
+        warnings.warn(
+            f"flash_attention: sequence length {t} only tiles at {fitted} "
+            "(< 128); falling back to XLA attention", stacklevel=2)
+        return _attention_reference(q, k, v)
     return _flash_diff(q, k, v, tq, tk, interpret)
 
 

@@ -246,10 +246,15 @@ def _group_norm_silu_fwd_only(
     )(*args)
 
 
-def pallas_gn_eligible(x: jax.Array) -> bool:
-    import os
+# A/B kill-switch (tools/perf_probe.py). Read ONCE at import: eligibility is
+# evaluated at trace time and jitted callers cache the traced program, so a
+# post-first-call toggle would silently do nothing anyway — set the env var
+# before importing/first use.
+_NO_PALLAS_GN = bool(__import__("os").environ.get("DTTS_NO_PALLAS_GN"))
 
-    if os.environ.get("DTTS_NO_PALLAS_GN"):  # A/B kill-switch (tools/perf_probe.py)
+
+def pallas_gn_eligible(x: jax.Array) -> bool:
+    if _NO_PALLAS_GN:
         return False
     if jax.default_backend() not in ("tpu", "axon"):
         return False

@@ -26,7 +26,10 @@ B*b candidates, and all rollouts of a phase run as one batched trajectory.
 end). The reference batches up to 16 simulations this way
 (edm/main.py:518-520), which with default S=8 means ALL rollouts of a
 timestep see stale stats; rollout_batch=1 gives textbook sequential MCTS
-(better rewards, less step-level parallelism).
+(better rewards, less step-level parallelism). Cost note: every phase after
+the first pays one fully-masked pipeline-fill expand (two wasted UNet
+forwards), so rollout_batch < S trades compute for statistical freshness —
+with rollout_batch=1 the per-timestep expand count doubles vs one phase.
 """
 from __future__ import annotations
 
@@ -89,10 +92,14 @@ def mcts_init(
     bsz = z.shape[0]
     num_steps = backend.num_steps
     feat_shape = z.shape[1:]
-    # Every iteration of the pipelined rollout scan consumes b_exp arena
-    # slots (masked or not), rollout_batch+1 iterations per phase (the +1 is
-    # the root-expansion pipeline fill).
-    maxn = 1 + num_steps * n_phases * (rollout_batch + 1) * b_exp
+    # Arena slots actually consumed: expand_nodes only advances the shared
+    # count when some sample expands, so fully-masked pipeline-fill
+    # iterations (q=0 of every phase after the first) are slot-free — per
+    # timestep at most one root expansion plus rollout_batch leaf expansions
+    # per phase. (The masked fill iteration still pays its two UNet
+    # forwards; with the default rollout_batch=S — one phase — there are no
+    # such iterations, see mcts_timestep's pipelining note.)
+    maxn = 1 + num_steps * (1 + n_phases * rollout_batch) * b_exp
 
     x0 = backend.init_latents(z)
     # per-depth noise table, drawn once (edm/main.py:437-447); injectable
@@ -209,7 +216,11 @@ def mcts_timestep(
         return tree._replace(
             states=states, parent=parent, depth=depth, children=children,
             n_children=n_children, reward=reward, visits=visits,
-            count=tree.count + b_exp,
+            # advance the shared slot counter only if some sample expanded:
+            # fully-masked calls (pipeline-fill iterations) are slot-free,
+            # which is what lets mcts_init size the arena at the unpipelined
+            # bound instead of one fill slot per phase
+            count=tree.count + b_exp * jnp.any(do_expand).astype(jnp.int32),
         )
 
     def select_path(tree: _Tree) -> tuple[jax.Array, jax.Array, jax.Array]:

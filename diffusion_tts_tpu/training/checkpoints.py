@@ -15,9 +15,31 @@ from typing import Any
 
 import orbax.checkpoint as ocp
 
+# On-disk parameter-layout version. Bump whenever the flax tree layout
+# changes incompatibly. History:
+#   1 (implicit, no marker) — round-1 layout: qkv projection channels in the
+#     reference's interleaved ((head, d), 3) order.
+#   2 — qkv channels de-interleaved to contiguous (3, head, d) thirds
+#     (models/torch_import._deinterleave_qkv); UNetBlock consumes contiguous
+#     q/k/v slices. A version-1 tree loads without shape errors but silently
+#     permutes attention channels, so loads hard-fail on mismatch.
+CKPT_FORMAT_VERSION = 2
+
 
 def _mgr(path: str) -> ocp.Checkpointer:
     return ocp.StandardCheckpointer()
+
+
+def _check_format_version(found: int | None, path: str) -> None:
+    if found == CKPT_FORMAT_VERSION:
+        return
+    raise ValueError(
+        f"checkpoint {path} has parameter-layout version {found} "
+        f"(expected {CKPT_FORMAT_VERSION}). A pre-qkv-deinterleave tree would "
+        "load cleanly but silently channel-permute attention outputs. "
+        "Re-export from the source weights, or migrate the loaded tree with "
+        "diffusion_tts_tpu.models.torch_import.migrate_qkv_layout(params)."
+    )
 
 
 def save_snapshot(path: str, ema_params: Any, config: dict) -> None:
@@ -29,7 +51,7 @@ def save_snapshot(path: str, ema_params: Any, config: dict) -> None:
     ckpt.save(path, ema_params, force=True)
     ckpt.wait_until_finished()  # async save must not race interpreter exit
     with open(path + ".config.json", "w") as f:
-        json.dump(config, f, indent=2)
+        json.dump(dict(config, ckpt_format_version=CKPT_FORMAT_VERSION), f, indent=2)
 
 
 def load_snapshot(path: str, like: Any = None) -> tuple[Any, dict]:
@@ -38,6 +60,7 @@ def load_snapshot(path: str, like: Any = None) -> tuple[Any, dict]:
     params = ckpt.restore(path, target=like)
     with open(path + ".config.json") as f:
         config = json.load(f)
+    _check_format_version(config.get("ckpt_format_version"), path)
     return params, config
 
 
@@ -49,10 +72,20 @@ def save_state(path: str, state: Any) -> None:
     ckpt = _mgr(path)
     ckpt.save(path, state, force=True)
     ckpt.wait_until_finished()
+    with open(path + ".format.json", "w") as f:
+        json.dump({"ckpt_format_version": CKPT_FORMAT_VERSION}, f)
 
 
 def load_state(path: str, like: Any) -> Any:
-    return _mgr(os.path.abspath(path)).restore(os.path.abspath(path), target=like)
+    path = os.path.abspath(path)
+    version = None
+    try:
+        with open(path + ".format.json") as f:
+            version = json.load(f).get("ckpt_format_version")
+    except FileNotFoundError:
+        pass
+    _check_format_version(version, path)
+    return _mgr(path).restore(path, target=like)
 
 
 def parse_kimg_from_name(path: str) -> int:
@@ -66,5 +99,5 @@ def parse_kimg_from_name(path: str) -> int:
 
 __all__ = [
     "save_snapshot", "load_snapshot", "save_state", "load_state",
-    "parse_kimg_from_name",
+    "parse_kimg_from_name", "CKPT_FORMAT_VERSION",
 ]

@@ -31,7 +31,9 @@ def test_snapshot_roundtrip(tmp_path):
     params, cfg2 = checkpoints.load_snapshot(path, like=jax.device_get(state.ema_params))
     import json
 
-    assert cfg2 == json.loads(json.dumps(cfg))  # JSON normalizes tuples
+    # JSON normalizes tuples; save stamps the parameter-layout version
+    assert cfg2 == json.loads(json.dumps(
+        dict(cfg, ckpt_format_version=checkpoints.CKPT_FORMAT_VERSION)))
     for a, b in zip(jax.tree_util.tree_leaves(params),
                     jax.tree_util.tree_leaves(state.ema_params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
@@ -47,6 +49,59 @@ def test_state_dump_resume(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(restored.params),
                     jax.tree_util.tree_leaves(state.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_unversioned_checkpoint_fails_loudly(tmp_path):
+    """A pre-qkv-deinterleave checkpoint (no format marker) must not load
+    silently: the version-1 layout would channel-permute attention outputs
+    (ADVICE r2: models/torch_import.py qkv layout change)."""
+    import json
+
+    import pytest
+
+    net, state = _make_state()
+    ema = jax.device_get(state.ema_params)
+    snap = str(tmp_path / "network-snapshot-000001")
+    checkpoints.save_snapshot(snap, ema, {"precond": "edm"})
+    # simulate a round-1-era snapshot: strip the version key
+    with open(snap + ".config.json") as f:
+        cfg = json.load(f)
+    del cfg["ckpt_format_version"]
+    with open(snap + ".config.json", "w") as f:
+        json.dump(cfg, f)
+    with pytest.raises(ValueError, match="layout version"):
+        checkpoints.load_snapshot(snap, like=ema)
+
+    st = str(tmp_path / "training-state-000004")
+    checkpoints.save_state(st, jax.device_get(state))
+    os.remove(st + ".format.json")  # round-1 state dumps had no sidecar
+    with pytest.raises(ValueError, match="layout version"):
+        checkpoints.load_state(st, like=jax.device_get(state))
+
+
+def test_migrate_qkv_layout_roundtrip():
+    """migrate_qkv_layout applies the de-interleave permutation to qkv
+    kernels/biases: converting an interleaved-layout tree must equal
+    converting the de-interleaved state dict directly."""
+    import numpy as np
+
+    from diffusion_tts_tpu.models.torch_import import (
+        _deinterleave_qkv, migrate_qkv_layout,
+    )
+
+    rng = np.random.default_rng(0)
+    kern = rng.standard_normal((1, 1, 8, 24), dtype=np.float32)
+    bias = rng.standard_normal(24, dtype=np.float32)
+    other = rng.standard_normal((3, 3, 8, 8), dtype=np.float32)
+    v1_tree = {"params": {"block": {"qkv": {"kernel": kern, "bias": bias},
+                                    "conv": {"kernel": other}}}}
+    migrated = migrate_qkv_layout(v1_tree)
+    np.testing.assert_array_equal(
+        migrated["params"]["block"]["qkv"]["kernel"], _deinterleave_qkv(kern))
+    np.testing.assert_array_equal(
+        migrated["params"]["block"]["qkv"]["bias"], _deinterleave_qkv(bias))
+    np.testing.assert_array_equal(
+        migrated["params"]["block"]["conv"]["kernel"], other)
 
 
 def test_parse_kimg_from_name():

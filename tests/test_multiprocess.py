@@ -1,0 +1,77 @@
+"""Real 2-process jax.distributed run on CPU (VERDICT r2 missing #4).
+
+Launches two localhost worker processes through the same env protocol
+``distributed_init()`` triggers on (JAX_COORDINATOR_ADDRESS et al. — the
+counterpart of the reference's MASTER_ADDR handshake,
+edm/torch_utils/distributed.py:14-31) and asserts the merged results:
+process-sharded sampling covers disjoint rank-strided index sets, and
+``Collector.sync()`` produces identical merged [num, sum, sum^2] moments on
+every process (training_stats.py:233-266).
+"""
+from __future__ import annotations
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORKER = os.path.join(REPO, "tests", "_dist_worker.py")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.slow
+def test_two_process_distributed_init_sampler_and_stats_sync():
+    port = _free_port()
+    procs = []
+    for rank in range(2):
+        env = dict(
+            os.environ,
+            JAX_PLATFORMS="cpu",
+            JAX_COORDINATOR_ADDRESS=f"localhost:{port}",
+            JAX_NUM_PROCESSES="2",
+            JAX_PROCESS_ID=str(rank),
+            PALLAS_AXON_POOL_IPS="",  # never touch the TPU grant
+        )
+        env.pop("XLA_FLAGS", None)  # one local CPU device per process
+        procs.append(subprocess.Popen(
+            [sys.executable, WORKER], env=env, cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        ))
+    results = {}
+    for p in procs:
+        out, err = p.communicate(timeout=240)
+        assert p.returncode == 0, f"worker failed:\nstdout:{out}\nstderr:{err}"
+        line = [ln for ln in out.splitlines() if ln.startswith("RESULT:")]
+        assert line, f"no RESULT line in worker output:\n{out}"
+        r = json.loads(line[0][len("RESULT:"):])
+        results[r["rank"]] = r
+
+    assert set(results) == {0, 1}
+    for r in results.values():
+        assert r["world"] == 2
+
+    # Rank-strided sharding: rank r sees indices idx % 2 == r, disjointly.
+    idx0, idx1 = results[0]["sampler_idxs"], results[1]["sampler_idxs"]
+    assert all(i % 2 == 0 for i in idx0)
+    assert all(i % 2 == 1 for i in idx1)
+    assert not (set(idx0) & set(idx1))
+
+    # Merged moments, identical on both processes: loss = {1, 2} u {5}.
+    for r in results.values():
+        assert r["loss_num"] == 3
+        np.testing.assert_allclose(r["loss_mean"], 8.0 / 3.0, rtol=1e-12)
+        np.testing.assert_allclose(
+            r["loss_std"], np.std([1.0, 2.0, 5.0]), rtol=1e-12)
+        # report0: only rank 0 contributed a value
+        assert r["lr_num"] == 1
+        np.testing.assert_allclose(r["lr_mean"], 0.125, rtol=1e-12)
