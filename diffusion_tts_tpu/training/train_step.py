@@ -48,6 +48,14 @@ class TrainConfig:
     # copies of fwd+bwd) but no while-loop — a workaround for backends that
     # reject the scanned form (see PARITY.md round-2 notes).
     accum_unroll: bool = False
+    # Carry the accumulated gradient through the scan as ONE flattened
+    # vector instead of a per-parameter pytree. Same math and memory, but
+    # the while-loop carry drops from ~(2 + n_params_leaves) operands to 4 —
+    # the remote TPU runtime rejects large-model scans with many-hundred-
+    # leaf carries at execution (opaque INVALID_ARGUMENT; PARITY.md
+    # round-2/3 notes), and tools/carry_probe.py bisects the leaf-count
+    # threshold. Flat is the default; the pytree carry remains for A/B.
+    accum_flat_carry: bool = True
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
@@ -97,6 +105,21 @@ def make_train_step(
                 lab_j = None if labels is None else labels[j]
                 carry, _ = accum(carry, (images[j], lab_j, keys[j]))
             loss_sum, grad_sum = carry
+        elif cfg.accum_flat_carry:
+            from jax.flatten_util import ravel_pytree
+
+            zero_flat, unravel = ravel_pytree(zero_grads)
+
+            def accum_flat(carry, inp):
+                loss_sum, gflat = carry
+                img, lab, k = inp
+                loss, grads = grad_fn(state.params, img, lab, k)
+                return (loss_sum + loss, gflat + ravel_pytree(grads)[0]), None
+
+            (loss_sum, gflat), _ = jax.lax.scan(
+                accum_flat, (jnp.zeros(()), zero_flat), (images, labels, keys)
+            )
+            grad_sum = unravel(gflat)
         else:
             (loss_sum, grad_sum), _ = jax.lax.scan(
                 accum, (jnp.zeros(()), zero_grads), (images, labels, keys)

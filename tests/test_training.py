@@ -69,6 +69,39 @@ def test_train_step_reduces_loss_and_updates_ema():
     assert max(jax.tree_util.tree_leaves(d)) > 0
 
 
+def test_accum_modes_agree():
+    """The three accumulation forms — flat-carry scan (default: 4-operand
+    while-loop carry, the remote-runtime-safe one), pytree-carry scan, and
+    unroll — are the same math and must produce the same step."""
+    net = make_net()
+    imgs = jax.random.normal(jax.random.key(0), (3, 4, 8, 8, 3)) * 0.5
+    labels = jnp.tile(jnp.eye(4), (3, 1, 1))
+    variables = net.init(
+        {"params": jax.random.key(1)}, imgs[0], jnp.ones((4,)), labels[0]
+    )
+    denoise_apply = lambda p, x, s, l, al, rng=None: net.apply(
+        {"params": p}, x, s, l, augment_labels=al)
+
+    results = {}
+    for name, kw in (
+        ("flat", dict(accum_flat_carry=True)),
+        ("tree", dict(accum_flat_carry=False)),
+        ("unroll", dict(accum_flat_carry=False, accum_unroll=True)),
+    ):
+        cfg = TrainConfig(lr=1e-3, grad_accum_rounds=3, total_batch=12, **kw)
+        tx = make_optimizer(cfg)
+        state = TrainState.create(variables["params"], tx)
+        step = jax.jit(make_train_step(EDMLoss(), denoise_apply, cfg, tx))
+        state, metrics = step(state, imgs, labels, jax.random.key(7))
+        results[name] = (jax.device_get(state.params), float(metrics["loss"]))
+
+    for name in ("tree", "unroll"):
+        assert np.isclose(results[name][1], results["flat"][1], rtol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(results[name][0]),
+                        jax.tree_util.tree_leaves(results["flat"][0])):
+            np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
 def test_sharded_train_step_8_devices():
     mesh = make_mesh({"data": 8})
     net = make_net()
