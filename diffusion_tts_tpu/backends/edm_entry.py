@@ -57,10 +57,13 @@ def load_network(
     net = PRECONDS[precond](dtype=dtype, **cfg)
     res, ch, ld = cfg["img_resolution"], cfg["img_channels"], cfg["label_dim"]
     dummy_lab = jnp.zeros((1, ld)) if ld else None
-    variables = net.init(
+    # ONE compiled init program: eager net.init dispatches one tiny pjit per
+    # parameter (264 for the 56M config — ~78 s of the old CPU probe, and a
+    # remote round-trip each on the TPU tunnel).
+    variables = jax.jit(lambda: net.init(
         {"params": jax.random.key(0)}, jnp.zeros((1, res, res, ch)),
         jnp.ones((1,)), dummy_lab,
-    )
+    ))()
     if weights is not None:
         state = state_dict_from_npz(weights)
         converted = convert_state_dict(state)
@@ -137,6 +140,11 @@ def generate_image_grid(
             denoise=denoise, num_steps=num_steps, sigma_min=sigma_min,
             sigma_max=sigma_max, rho=rho, S_churn=S_churn, S_min=S_min,
             S_max=S_max, S_noise=S_noise,
+            # MCTS is by far the most trace/compile-heavy program (rollouts
+            # to terminal inside every timestep); sharing the Heun pair's
+            # denoiser trace cuts its lower time ~3x (9.5 s vs 29.3 s on
+            # the 56M config, tools/mcts_compile_probe.py).
+            trace_denoise_once=(method == "mcts"),
         )
         if "scorer" in b and hasattr(scorer, "variables"):
             sc = lambda img, cond, t=None: scorer(img, cond, t, variables=b["scorer"])

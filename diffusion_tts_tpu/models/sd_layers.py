@@ -37,11 +37,17 @@ def sd_timestep_embedding(
 
 
 class GroupNorm(nn.Module):
-    """diffusers nn.GroupNorm(32, eps): fp32 statistics, NHWC."""
+    """diffusers nn.GroupNorm(32, eps): fp32 statistics, NHWC.
+
+    apply_silu=True fuses the SiLU that follows every ResNet/VAE norm site
+    into the same pass; on TPU with lane-aligned channels (every SD-1.5
+    width: 128..1280) the whole GN(+SiLU) runs as the fused Pallas kernel
+    (ops/pallas/groupnorm.py) — one HBM round-trip instead of three."""
 
     num_groups: int = 32
     eps: float = 1e-5
     dtype: Dtype = jnp.float32
+    apply_silu: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -49,6 +55,17 @@ class GroupNorm(nn.Module):
         g = min(self.num_groups, c)
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
+
+        from diffusion_tts_tpu.ops.pallas.groupnorm import (
+            group_norm_silu,
+            pallas_gn_eligible,
+        )
+
+        if x.ndim == 4 and c % g == 0 and pallas_gn_eligible(x):
+            return group_norm_silu(
+                x, scale, bias, groups=g, eps=self.eps,
+                apply_silu=self.apply_silu,
+            )
         orig = x.dtype
         xf = x.astype(jnp.float32)
         shape = xf.shape
@@ -57,7 +74,10 @@ class GroupNorm(nn.Module):
         mean = jnp.mean(xf, axis=axes, keepdims=True)
         var = jnp.var(xf, axis=axes, keepdims=True)
         xf = ((xf - mean) * jax.lax.rsqrt(var + self.eps)).reshape(shape)
-        return (xf * scale + bias).astype(orig)
+        out = xf * scale + bias
+        if self.apply_silu:
+            out = out * jax.nn.sigmoid(out)
+        return out.astype(orig)
 
 
 def conv3(features, dtype, name, stride=1):
@@ -79,14 +99,14 @@ class ResnetBlock2D(nn.Module):
     @nn.compact
     def __call__(self, x, temb=None, *, train=False):
         in_ch = x.shape[-1]
-        h = nn.silu(GroupNorm(self.groups, self.eps, name="norm1")(x))
+        h = GroupNorm(self.groups, self.eps, apply_silu=True, name="norm1")(x)
         h = conv3(self.out_channels, self.dtype, "conv1")(h)
         if self.use_temb and temb is not None:
             t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(
                 nn.silu(temb)
             )
             h = h + t[:, None, None, :].astype(h.dtype)
-        h = nn.silu(GroupNorm(self.groups, self.eps, name="norm2")(h))
+        h = GroupNorm(self.groups, self.eps, apply_silu=True, name="norm2")(h)
         if self.dropout > 0.0:
             h = nn.Dropout(self.dropout, deterministic=not train)(h)
         h = conv3(self.out_channels, self.dtype, "conv2")(h)

@@ -97,7 +97,7 @@ class Encoder(nn.Module):
             x = _Down(out_ch=ch, add_down=(i < len(bo) - 1), cfg=self,
                       name=f"down_blocks_{i}")(x)
         x = _MidBlock(self.groups, self.dtype, name="mid_block")(x)
-        x = nn.silu(GroupNorm(self.groups, 1e-6, name="conv_norm_out")(x))
+        x = GroupNorm(self.groups, 1e-6, apply_silu=True, name="conv_norm_out")(x)
         return conv3(2 * self.latent_channels, self.dtype, "conv_out")(x)
 
 
@@ -132,7 +132,7 @@ class Decoder(nn.Module):
         for i, ch in enumerate(reversed(bo)):
             x = _Up(out_ch=ch, add_up=(i < len(bo) - 1), cfg=self,
                     name=f"up_blocks_{i}")(x)
-        x = nn.silu(GroupNorm(self.groups, 1e-6, name="conv_norm_out")(x))
+        x = GroupNorm(self.groups, 1e-6, apply_silu=True, name="conv_norm_out")(x)
         return conv3(self.out_channels, self.dtype, "conv_out")(x)
 
 

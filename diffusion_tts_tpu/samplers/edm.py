@@ -51,6 +51,13 @@ class EDMHeunSampler:
     S_min: float = 0.0
     S_max: float = float("inf")
     S_noise: float = 1.0
+    # Express the Heun pair as a 2-iteration lax.scan so the denoiser is
+    # traced/lowered ONCE per step call site instead of twice — the same
+    # math bit-for-bit, but UNet trace time and XLA program size halve.
+    # Matters for large models where tracing dominates (MCTS on the 56M
+    # config: 308 s of Python trace on the TPU tunnel). Off by default to
+    # keep the inlined form for peak steady-state fusion.
+    trace_denoise_once: bool = False
 
     def __post_init__(self):
         si = np.arange(self.num_steps, dtype=np.float64)
@@ -99,6 +106,33 @@ class EDMHeunSampler:
         x_hat = x + bc(self._noise_scale[i]) * eps
         # sigma argument for the denoiser: flatten [B,1,..]/[1,..] -> [B]
         flat = lambda t: jnp.broadcast_to(t[(...,) + (0,) * (x.ndim - 1)], (x.shape[0],))
+        if self.trace_denoise_once and second_order:
+            is_last = bc(jnp.asarray(i >= self.num_steps - 1))
+            t_next_safe = jnp.where(is_last, jnp.float32(1.0), t_next)
+
+            def body(carry, k):
+                x_in, t_in, slope_a = carry
+                d = self.denoise(x_in, flat(t_in))
+                slope = (x_in - d) / t_in
+                is0 = k == 0
+                x_eul_k = x_hat + h * slope
+                carry = (
+                    jnp.where(is0, x_eul_k, x_in),
+                    jnp.where(is0, t_next_safe, t_in),
+                    jnp.where(is0, slope, slope_a),
+                )
+                return carry, (d, slope)
+
+            carry0 = (x_hat, t_hat, jnp.zeros_like(x))
+            _, (ds, slopes) = jax.lax.scan(
+                body, carry0, jnp.arange(2, dtype=jnp.int32)
+            )
+            x_eul = x_hat + h * slopes[0]
+            x_heun = x_hat + h * (0.5 * slopes[0] + 0.5 * slopes[1])
+            x_next = jnp.where(is_last, x_eul, x_heun)
+            denoised = jnp.where(is_last, ds[0], ds[1])
+            return x_next, denoised
+
         d1 = self.denoise(x_hat, flat(t_hat))
         d_cur = (x_hat - d1) / t_hat
         x_eul = x_hat + h * d_cur

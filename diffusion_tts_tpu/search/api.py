@@ -49,6 +49,7 @@ def run_search(
     backend_args: Any = _UNSET,
     record_noises: bool = False,
     mcts_rollout_batch: int | None = None,
+    mcts_fresh_expansion: bool = False,
     noise: InjectedNoise | None = None,
     jit: bool = True,
     dispatch: str = "whole",
@@ -111,6 +112,7 @@ def run_search(
             backend_args=backend_args, factory_mode=factory_mode,
             rollout_batch=mcts_rollout_batch, noise=noise, jit=jit,
             chunk=1 if dispatch == "per_step" else chunk_steps,
+            fresh_expansion=mcts_fresh_expansion,
         )
 
     def go(z, key, bargs, inj):
@@ -124,7 +126,7 @@ def run_search(
             x = beam_search(be, z, key, params).x
         elif method == "mcts":
             x = mcts_search(be, z, key, params, rollout_batch=mcts_rollout_batch,
-                            noise=inj).x
+                            noise=inj, fresh_expansion=mcts_fresh_expansion).x
         elif method == "zero_order":
             r = zero_order_search(be, z, key, params, record_noises=record_noises,
                                   noise=inj)
@@ -239,7 +241,7 @@ def _run_zero_order_chunked(
 
 def _run_mcts_chunked(
     backend, z, key, params, *, backend_args, factory_mode, rollout_batch,
-    noise, jit, chunk,
+    noise, jit, chunk, fresh_expansion=False,
 ):
     """MCTS with one device dispatch per chunk of timesteps (chunk=1 == the
     old per_step mode) — the tree arena stays on device between dispatches;
@@ -264,7 +266,8 @@ def _run_mcts_chunked(
 
         def body(tree, off):
             return mcts_timestep(be, tree, noise_tab, key, start + off, params,
-                                 rollout_batch=rollout_batch), None
+                                 rollout_batch=rollout_batch,
+                                 fresh_expansion=fresh_expansion), None
 
         tree, _ = jax.lax.scan(body, tree, jnp.arange(length, dtype=jnp.int32))
         return tree

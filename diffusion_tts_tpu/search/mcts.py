@@ -39,6 +39,7 @@ import jax
 import jax.numpy as jnp
 
 from diffusion_tts_tpu.search.noise import (
+    SALT_MCTS_EXPAND as _SALT_EXPAND,
     SALT_MCTS_PICK as _SALT_PICK,
     SALT_MCTS_TAB as _SALT_TAB,
     InjectedNoise,
@@ -139,10 +140,17 @@ def mcts_timestep(
     params: SearchParams,
     *,
     rollout_batch: int | None = None,
+    fresh_expansion: bool = False,
 ) -> _Tree:
     """One MCTS timestep: (pipelined) root/leaf expansions, rollout phases
     with terminal scoring + backprop, then root advance. `i` may be a traced
-    scalar, so one compile serves every timestep."""
+    scalar, so one compile serves every timestep.
+
+    fresh_expansion=True draws NEW expansion noise per (timestep, phase,
+    iteration) instead of the reference's fixed per-depth table
+    (edm/main.py:437-447) — a beyond-reference mode: with the table, every
+    expansion of a node at depth d proposes the SAME b_exp children, so
+    extra rollouts can only refine value estimates, never widen the tree."""
     b_exp, rollout_batch, n_phases = _mcts_dims(params, rollout_batch)
     bsz = tree.parent.shape[0]
     num_steps = backend.num_steps
@@ -151,16 +159,20 @@ def mcts_timestep(
     max_path = num_steps + 2
     b_idx = jnp.arange(bsz)
 
-    def expand_nodes(tree: _Tree, nodes: jax.Array, do_expand: jax.Array) -> _Tree:
+    def expand_nodes(tree: _Tree, nodes: jax.Array, do_expand: jax.Array,
+                     eps_override: jax.Array | None = None) -> _Tree:
         """Add b_exp children to `nodes` [B] where do_expand [B]; always
         consumes b_exp slots (masked writes keep unexpanded lanes intact)."""
         d = tree.depth[b_idx, nodes]  # [B]
         x_par = tree.states[b_idx, nodes]  # [B, *feat]
-        eps = jnp.take_along_axis(
-            noise_tab,
-            jnp.clip(d, 0, num_steps - 1).reshape((1, bsz, 1) + (1,) * feat_ndim),
-            axis=0,
-        )[0]  # [B, b_exp, *feat]
+        if eps_override is not None:
+            eps = eps_override  # [B, b_exp, *feat]
+        else:
+            eps = jnp.take_along_axis(
+                noise_tab,
+                jnp.clip(d, 0, num_steps - 1).reshape((1, bsz, 1) + (1,) * feat_ndim),
+                axis=0,
+            )[0]  # [B, b_exp, *feat]
         # Candidate-major flatten ([cand, sample] -> cand*B) to match
         # backend.expand's layout: per-sample conditioning closures tile
         # labels as [l0..lB-1]*n, so sample must be the fast axis.
@@ -271,7 +283,13 @@ def mcts_timestep(
         def iter_body(carry, q):
             tree, leaf, pend_mask, path, plen = carry
             first_child = tree.count  # ids of the children about to be added
-            tree = expand_nodes(tree, leaf, pend_mask)
+            eps_override = (
+                jax.random.normal(
+                    fold_in_path(key, _SALT_EXPAND, i, phase, q),
+                    (bsz, b_exp) + feat_shape, jnp.float32,
+                ) if fresh_expansion else None
+            )
+            tree = expand_nodes(tree, leaf, pend_mask, eps_override)
             # complete rollout q-1 (no-op garbage at q=0, sliced off below)
             pick = jax.random.randint(
                 fold_in_path(key, _SALT_PICK, i, phase, q - 1), (bsz,), 0, b_exp
@@ -348,6 +366,7 @@ def mcts_search(
     *,
     rollout_batch: int | None = None,
     noise: InjectedNoise | None = None,
+    fresh_expansion: bool = False,
 ) -> MCTSResult:
     tree, noise_tab = mcts_init(
         backend, z, key, params, rollout_batch=rollout_batch, noise=noise
@@ -355,7 +374,8 @@ def mcts_search(
 
     def timestep_body(tree: _Tree, i: jax.Array) -> tuple[_Tree, None]:
         return mcts_timestep(
-            backend, tree, noise_tab, key, i, params, rollout_batch=rollout_batch
+            backend, tree, noise_tab, key, i, params, rollout_batch=rollout_batch,
+            fresh_expansion=fresh_expansion,
         ), None
 
     tree, _ = jax.lax.scan(

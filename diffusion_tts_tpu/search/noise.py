@@ -41,6 +41,7 @@ SALT_FRESH = 0x25
 SALT_STEP = 0x5A1
 SALT_MCTS_TAB = 0x41
 SALT_MCTS_PICK = 0x42
+SALT_MCTS_EXPAND = 0x43
 
 
 class InjectedNoise(NamedTuple):
@@ -116,5 +117,5 @@ __all__ = [
     "record_step_draws",
     "record_mcts_table",
     "SALT_PIVOT", "SALT_DIR", "SALT_SCALE", "SALT_BERN", "SALT_FRESH",
-    "SALT_STEP", "SALT_MCTS_TAB", "SALT_MCTS_PICK",
+    "SALT_STEP", "SALT_MCTS_TAB", "SALT_MCTS_PICK", "SALT_MCTS_EXPAND",
 ]

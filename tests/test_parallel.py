@@ -3,6 +3,7 @@ search on the 8-device virtual mesh."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from diffusion_tts_tpu.models.preconds import EDMPrecond
@@ -36,6 +37,7 @@ def test_param_spec_rules():
     assert param_spec(L((3, 3, 16, 15)), "model", 2, 2) == P()  # not divisible
 
 
+@pytest.mark.slow
 def test_dp_tp_train_step_matches_dp():
     mesh_tp = make_mesh({"data": 4, "model": 2})
     mesh_dp = make_mesh({"data": 8})

@@ -97,6 +97,7 @@ def test_imagenet_scorer_head():
     np.testing.assert_allclose(np.asarray(s1), probs[[0, 1], [3, 7]], rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_clip_scorer_tiny():
     from diffusion_tts_tpu.scorers import CLIPScorer
 

@@ -24,6 +24,7 @@ def _nhwc(x):
     return np.transpose(x, (0, 2, 3, 1))
 
 
+@pytest.mark.slow
 def test_sd_lookahead_chain_parity():
     """Our expand() must reproduce the reference's candidate evaluation:
     step -> lookahead unet at same t -> step -> vae decode -> uint8 grid
@@ -76,6 +77,7 @@ def tiny_pipe():
     return StableDiffusionSearchPipeline.tiny_random(seed=0)
 
 
+@pytest.mark.slow
 def test_sd_pipeline_naive_and_search(tiny_pipe):
     emb = jax.random.normal(jax.random.key(5), (1, 7, 32))
     params = SearchParams(N=2, K=2, B=2, S=2)
@@ -94,6 +96,7 @@ def test_sd_pipeline_naive_and_search(tiny_pipe):
 
 
 @pytest.mark.parametrize("method", [m for m in METHODS if m not in ("naive", "eps_greedy")])
+@pytest.mark.slow
 def test_sd_pipeline_all_methods(tiny_pipe, method):
     emb = jax.random.normal(jax.random.key(5), (1, 7, 32))
     images, scores = tiny_pipe(
@@ -104,6 +107,7 @@ def test_sd_pipeline_all_methods(tiny_pipe, method):
     assert images.shape == (1, 32, 32, 3) and np.isfinite(images).all()
 
 
+@pytest.mark.slow
 def test_sd_pipeline_params_dict_compat(tiny_pipe):
     """The reference passes params as a dict with key 'lambda'
     (main.py:124-131)."""

@@ -192,6 +192,37 @@ def test_mcts_textbook_mode_runs():
     assert np.all(np.isfinite(np.asarray(res.x)))
 
 
+def test_mcts_fresh_expansion_mode():
+    """fresh_expansion draws new child noise per expansion event instead of
+    the reference's fixed per-depth table: the run must differ from the
+    table mode, stay finite, and still beat naive."""
+    backend = make_backend()
+    tab = run_search("mcts", backend, Z, jax.random.key(5), PARAMS)
+    fresh = run_search("mcts", backend, Z, jax.random.key(5), PARAMS,
+                       mcts_fresh_expansion=True)
+    assert np.all(np.isfinite(np.asarray(fresh.x)))
+    assert not np.allclose(np.asarray(tab.x), np.asarray(fresh.x))
+    assert 0.0 <= float(fresh.score.mean()) <= 1.0
+
+
+def test_sampler_shared_trace_matches_inlined():
+    """EDMHeunSampler.trace_denoise_once (2-iteration scan sharing one
+    denoiser trace) must match the inlined Heun pair to fp32 fusion noise."""
+    from diffusion_tts_tpu.samplers.edm import EDMHeunSampler
+
+    kw = dict(denoise=analytic_denoise, num_steps=6, sigma_min=0.002,
+              sigma_max=10.0, S_churn=20.0, S_min=0.01, S_max=50.0)
+    a = EDMHeunSampler(**kw)
+    b = EDMHeunSampler(**kw, trace_denoise_once=True)
+    x = jax.random.normal(jax.random.key(0), (3, 8, 8, 3)) * 5
+    eps = jax.random.normal(jax.random.key(1), x.shape)
+    for i in (0, jnp.asarray([0, 3, 5], jnp.int32)):
+        xa, da = a.step(x, jnp.asarray(i, jnp.int32), eps)
+        xb, db = b.step(x, jnp.asarray(i, jnp.int32), eps)
+        np.testing.assert_allclose(np.asarray(xa), np.asarray(xb), rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(da), np.asarray(db), rtol=1e-5, atol=1e-5)
+
+
 def test_noise_trajectory_recording():
     backend = make_backend()
     res = run_search(

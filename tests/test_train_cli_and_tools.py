@@ -187,6 +187,7 @@ class TestBenchToolSmokes:
     """The perf/reward tooling must stay runnable: every tool has a tiny
     CPU mode exercised here end-to-end via its real CLI."""
 
+    @pytest.mark.slow
     def test_train_bench_tiny(self):
         r = run_cli("tools/train_bench.py", "--arch", "tiny", "--batch", "4",
                     "--steps", "1")
@@ -194,6 +195,7 @@ class TestBenchToolSmokes:
         out = json.loads(r.stdout.strip().splitlines()[-1])
         assert out["arch"] == "tiny" and np.isfinite(out["loss"])
 
+    @pytest.mark.slow
     def test_train_bench_tiny_unroll_rounds(self):
         r = run_cli("tools/train_bench.py", "--arch", "tiny", "--batch", "4",
                     "--rounds", "2", "--steps", "1", "--unroll")
@@ -207,6 +209,7 @@ class TestBenchToolSmokes:
         out = json.loads(r.stdout.strip().splitlines()[-1])
         assert out["unit"] == "NFE/s" and out["value"] > 0
 
+    @pytest.mark.slow
     def test_reward_curve_quick(self, tmp_path):
         dest = str(tmp_path / "curve.json")
         r = run_cli("tools/reward_curve.py", "--arch", "tiny", "--quick",
@@ -216,6 +219,7 @@ class TestBenchToolSmokes:
         assert {row["method"] for row in data["rows"]} == {"eps_greedy", "rejection"}
         assert "RANDOM-INIT" in data["weights"]
 
+    @pytest.mark.slow
     def test_perf_probe_tiny(self):
         r = run_cli("tools/perf_probe.py", "--tiny", "--batches", "1",
                     "--inner", "1", "--reps", "1")
@@ -223,6 +227,7 @@ class TestBenchToolSmokes:
         rows = [json.loads(l) for l in r.stdout.strip().splitlines() if l.startswith("{")]
         assert any("pct_sol" in row for row in rows)
 
+    @pytest.mark.slow
     def test_mcts_compile_probe_tiny(self):
         r = run_cli("tools/mcts_compile_probe.py", "--arch", "tiny", "--steps",
                     "3", "--S", "2", "--run")

@@ -69,6 +69,7 @@ def test_train_step_reduces_loss_and_updates_ema():
     assert max(jax.tree_util.tree_leaves(d)) > 0
 
 
+@pytest.mark.slow
 def test_accum_modes_agree():
     """The three accumulation forms — flat-carry scan (default: 4-operand
     while-loop carry, the remote-runtime-safe one), pytree-carry scan, and
@@ -123,6 +124,7 @@ def test_sharded_train_step_8_devices():
     )
 
 
+@pytest.mark.slow
 def test_augment_pipe_edm_config():
     pipe = edm_augment_pipe(p=0.5)
     assert pipe.label_dim == 9
@@ -203,6 +205,7 @@ def test_training_loop_smoke(tmp_path):
     assert os.path.exists(os.path.join(str(tmp_path), "network-snapshot-final.config.json"))
 
 
+@pytest.mark.slow
 def test_training_loop_transfer_and_resume(tmp_path):
     """transfer: EMA-snapshot init (train.py:165-169); resume: exact state
     restore (training_loop.py:92-109)."""

@@ -34,6 +34,9 @@ def main():
     ap.add_argument("--rollout-batch", type=int, default=None)
     ap.add_argument("--seeds", default="0,1")
     ap.add_argument("--run", action="store_true", help="also execute one search")
+    ap.add_argument("--shared-trace", action="store_true",
+                    help="trace the Heun pair's denoiser once via a 2-iter "
+                         "scan (EDMHeunSampler.trace_denoise_once)")
     args = ap.parse_args()
 
     from diffusion_tts_tpu.backends.edm_entry import NET_CONFIGS, load_network
@@ -58,7 +61,8 @@ def main():
             jnp.tile(labels, (x.shape[0] // b, 1)) if labels is not None else None,
         )
         sampler = EDMHeunSampler(denoise=denoise, num_steps=args.steps,
-                                 S_churn=40.0, S_min=0.05, S_max=50.0, S_noise=1.003)
+                                 S_churn=40.0, S_min=0.05, S_max=50.0, S_noise=1.003,
+                                 trace_denoise_once=args.shared_trace)
         be = EDMSearchBackend(sampler=sampler, scorer=BrightnessScorer())
         return mcts_search(be, z, key, params,
                            rollout_batch=args.rollout_batch).x

@@ -49,6 +49,12 @@ def main(argv=None):
                          "the large archs (keeps the device program chunk*K-sized)")
     ap.add_argument("--chunk_steps", type=int, default=None,
                     help="timesteps per dispatch for dispatch=chunked")
+    ap.add_argument("--mcts_rollout_batch", type=int, default=None,
+                    help="rollouts sharing pre-phase UCB stats (None = S, the "
+                         "reference's batched form; 1 = textbook sequential)")
+    ap.add_argument("--mcts_fresh_expansion", action="store_true",
+                    help="draw new expansion noise per (timestep, phase, "
+                         "iteration) instead of the reference's per-depth table")
     ap.add_argument("--json", default=None)
     args = ap.parse_args(argv)
 
@@ -84,14 +90,14 @@ def main(argv=None):
     labels = (jnp.eye(label_dim)[jnp.asarray(seeds) % label_dim]
               if label_dim else None)
 
-    def make_backend(v):
+    def make_backend(v, shared_trace=False):
         denoise = lambda x, s: net.apply(
             v, x, s,
             jnp.tile(labels, (x.shape[0] // b, 1)) if labels is not None else None,
         )
         sampler = EDMHeunSampler(
             denoise=denoise, num_steps=args.steps, S_churn=40.0, S_min=0.05,
-            S_max=50.0, S_noise=1.003,
+            S_max=50.0, S_noise=1.003, trace_denoise_once=shared_trace,
         )
         return EDMSearchBackend(sampler=sampler, scorer=scorer)
 
@@ -104,9 +110,15 @@ def main(argv=None):
     for method in args.methods.split(","):
         key = jax.random.key(1234)
         t0 = time.perf_counter()
-        r = run_search(method, make_backend, z, key, params,
+        # mcts: share the denoiser trace across the Heun pair (its programs
+        # are the trace/compile-heaviest of the six methods)
+        factory = (lambda v: make_backend(v, shared_trace=True)) \
+            if method == "mcts" else make_backend
+        r = run_search(method, factory, z, key, params,
                        backend_args=variables, dispatch=args.dispatch,
-                       chunk_steps=args.chunk_steps)
+                       chunk_steps=args.chunk_steps,
+                       mcts_rollout_batch=args.mcts_rollout_batch,
+                       mcts_fresh_expansion=args.mcts_fresh_expansion)
         r.score.block_until_ready()
         wall = time.perf_counter() - t0
         per_seed = np.asarray(r.score, np.float64)

@@ -40,6 +40,10 @@ def main():
     ap.add_argument("--unroll", action="store_true",
                     help="unroll grad accumulation (workaround for backends "
                          "that reject the scanned form; see TrainConfig)")
+    ap.add_argument("--tree-carry", action="store_true",
+                    help="A/B: carry the gradient pytree through the scan "
+                         "instead of the default flat vector (the form the "
+                         "remote runtime rejects at many-leaf model sizes)")
     ap.add_argument("--json", default=None)
     args = ap.parse_args()
 
@@ -69,7 +73,8 @@ def main():
 
     total_batch = micro * args.rounds
     cfg = TrainConfig(lr=1e-4, grad_accum_rounds=args.rounds, total_batch=total_batch,
-                      accum_unroll=args.unroll)
+                      accum_unroll=args.unroll,
+                      accum_flat_carry=not args.tree_carry)
     tx = make_optimizer(cfg)
     state = TrainState.create(variables["params"], tx)
     step = jax.jit(make_train_step(EDMLoss(), denoise_apply, cfg, tx),
