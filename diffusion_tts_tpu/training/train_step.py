@@ -99,7 +99,15 @@ def make_train_step(
             ), None
 
         zero_grads = jax.tree_util.tree_map(jnp.zeros_like, state.params)
-        if cfg.accum_unroll:
+        if r == 1:
+            # no accumulation: skip the scan (and the flat-carry flatten,
+            # which would re-layout model-sharded gradients — with tensor-
+            # parallel params the concatenated vector cannot preserve
+            # per-leaf shardings; rounds>1 + TP should prefer
+            # accum_flat_carry=False)
+            lab0 = None if labels is None else labels[0]
+            loss_sum, grad_sum = grad_fn(state.params, images[0], lab0, keys[0])
+        elif cfg.accum_unroll:
             carry = (jnp.zeros(()), zero_grads)
             for j in range(r):
                 lab_j = None if labels is None else labels[j]
