@@ -55,6 +55,10 @@ def main(argv=None):
     ap.add_argument("--mcts_fresh_expansion", action="store_true",
                     help="draw new expansion noise per (timestep, phase, "
                          "iteration) instead of the reference's per-depth table")
+    ap.add_argument("--repeat", type=int, default=1,
+                    help="run each method this many times in-process; wall "
+                         "of the LAST run excludes one-time trace + "
+                         "executable-cache-load overhead (steady state)")
     ap.add_argument("--json", default=None)
     args = ap.parse_args(argv)
 
@@ -109,18 +113,24 @@ def main(argv=None):
     base_reward = None
     for method in args.methods.split(","):
         key = jax.random.key(1234)
-        t0 = time.perf_counter()
         # mcts: share the denoiser trace across the Heun pair (its programs
         # are the trace/compile-heaviest of the six methods)
         factory = (lambda v: make_backend(v, shared_trace=True)) \
             if method == "mcts" else make_backend
-        r = run_search(method, factory, z, key, params,
-                       backend_args=variables, dispatch=args.dispatch,
-                       chunk_steps=args.chunk_steps,
-                       mcts_rollout_batch=args.mcts_rollout_batch,
-                       mcts_fresh_expansion=args.mcts_fresh_expansion)
-        r.score.block_until_ready()
-        wall = time.perf_counter() - t0
+        walls = []
+        for _ in range(max(args.repeat, 1)):
+            t0 = time.perf_counter()
+            r = run_search(method, factory, z, key, params,
+                           backend_args=variables, dispatch=args.dispatch,
+                           chunk_steps=args.chunk_steps,
+                           mcts_rollout_batch=args.mcts_rollout_batch,
+                           mcts_fresh_expansion=args.mcts_fresh_expansion)
+            r.score.block_until_ready()
+            walls.append(time.perf_counter() - t0)
+        wall = walls[-1]  # steady state: traces + cache loads amortized
+        if len(walls) > 1:
+            print(f"  walls: {', '.join(f'{w:.1f}' for w in walls)} s "
+                  "(first includes trace + executable-cache load)")
         per_seed = np.asarray(r.score, np.float64)
         reward = float(per_seed.mean())
         nfe = nfe_count(method, args.steps, params, backend="edm")
