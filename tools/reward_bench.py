@@ -59,6 +59,9 @@ def main(argv=None):
                     help="run each method this many times in-process; wall "
                          "of the LAST run excludes one-time trace + "
                          "executable-cache-load overhead (steady state)")
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="capture a jax.profiler trace of the LAST repeat "
+                         "into DIR (inspect with tools/trace_summary.py)")
     ap.add_argument("--json", default=None)
     args = ap.parse_args(argv)
 
@@ -118,7 +121,13 @@ def main(argv=None):
         factory = (lambda v: make_backend(v, shared_trace=True)) \
             if method == "mcts" else make_backend
         walls = []
-        for _ in range(max(args.repeat, 1)):
+        reps = max(args.repeat, 1)
+        for rep in range(reps):
+            profiling = args.profile and rep == reps - 1
+            if profiling:
+                from diffusion_tts_tpu.utils.misc import start_trace
+
+                start_trace(args.profile)
             t0 = time.perf_counter()
             r = run_search(method, factory, z, key, params,
                            backend_args=variables, dispatch=args.dispatch,
@@ -127,6 +136,11 @@ def main(argv=None):
                            mcts_fresh_expansion=args.mcts_fresh_expansion)
             r.score.block_until_ready()
             walls.append(time.perf_counter() - t0)
+            if profiling:
+                from diffusion_tts_tpu.utils.misc import stop_trace
+
+                stop_trace()
+                print(f"  profiler trace written to {args.profile}/")
         wall = walls[-1]  # steady state: traces + cache loads amortized
         if len(walls) > 1:
             print(f"  walls: {', '.join(f'{w:.1f}' for w in walls)} s "
