@@ -15,6 +15,7 @@ passed as plain instances.
 from __future__ import annotations
 
 import dataclasses
+import weakref
 from typing import Any
 
 import jax
@@ -29,6 +30,34 @@ from diffusion_tts_tpu.utils.config import SearchParams
 METHODS = ("naive", "rejection", "beam", "mcts", "zero_order", "eps_greedy")
 
 _UNSET = object()
+
+# Jitted search programs, reused across run_search calls. jax.jit keys its
+# trace cache on the WRAPPER's identity, so rebuilding jax.jit(go) per call
+# retraces and re-lowers the whole search program every time — on the 296M
+# flagship that is ~30 s of host work per call during which the device sits
+# idle (profiled as the round-3 "37.7% IDLE" / "1.8 s/timestep fixed cost").
+# Keyed weakly on the backend factory (or instance) so programs die with the
+# model; the value dict is keyed on every closure input baked into the trace.
+_PROGRAM_CACHE: "weakref.WeakKeyDictionary[Any, dict]" = weakref.WeakKeyDictionary()
+
+
+def _cached_program(anchor, cache_key, build):
+    """Memoize ``build()`` (a jax.jit wrapper) on (anchor, cache_key).
+    Anchors that cannot be weakly referenced or hashed (e.g. plain dataclass
+    backend instances, whose generated __eq__ clears __hash__) skip the
+    cache — those are the tiny-test paths where retracing is cheap."""
+    try:
+        per_anchor = _PROGRAM_CACHE.setdefault(anchor, {})
+    except TypeError:
+        return build()
+    fn = per_anchor.get(cache_key)
+    if fn is None:
+        fn = per_anchor[cache_key] = build()
+    return fn
+
+
+def _params_key(params) -> tuple:
+    return tuple(dataclasses.astuple(params))
 
 
 @dataclasses.dataclass
@@ -139,7 +168,15 @@ def run_search(
         score = be.score(images)
         return x, images, score, noises
 
-    fn = jax.jit(go, static_argnums=()) if jit else go
+    if jit:
+        fn = _cached_program(
+            backend,
+            ("whole", method, _params_key(params), record_noises,
+             mcts_rollout_batch, mcts_fresh_expansion, factory_mode),
+            lambda: jax.jit(go),
+        )
+    else:
+        fn = go
     x, images, score, noises = fn(z, key, backend_args if factory_mode else None, noise)
 
     # Exact-final-score guarantee: when the scorer had to degrade to an
@@ -210,15 +247,22 @@ def _run_zero_order_chunked(
 
     # donate the carried latents: each dispatch rebinds x, so in-place
     # update keeps per-step memory flat (matches the whole-program scan)
-    fns: dict[int, Any] = {}
+    base_key = ("zo_chunk", method, _params_key(params), record_noises,
+                factory_mode)
 
     def chunk_fn(length):
-        if length not in fns:
+        def build():
             f = functools.partial(run_chunk, length=length)
-            fns[length] = jax.jit(f, donate_argnums=(1,)) if jit else f
-        return fns[length]
+            return jax.jit(f, donate_argnums=(1,)) if jit else f
 
-    finish_fn = jax.jit(finish) if jit else finish
+        if not jit:
+            return build()
+        return _cached_program(backend, base_key + (length,), build)
+
+    finish_fn = (
+        _cached_program(backend, ("finish", factory_mode), lambda: jax.jit(finish))
+        if jit else finish
+    )
     bargs = backend_args if factory_mode else None
     be0 = backend(backend_args) if factory_mode else backend
 
@@ -281,17 +325,25 @@ def _run_mcts_chunked(
     # donate the tree arena (arg 1): the [B, MAXN, *feat] states buffer is
     # the dominant allocation; without donation every dispatch double-
     # buffers it (noise_tab, arg 2, is reused across steps — not donated)
-    fns: dict[int, Any] = {}
+    base_key = ("mcts_chunk", _params_key(params), rollout_batch,
+                fresh_expansion, factory_mode)
 
     def chunk_fn(length):
-        if length not in fns:
+        def build():
             f = functools.partial(run_chunk, length=length)
-            fns[length] = jax.jit(f, donate_argnums=(1,)) if jit else f
-        return fns[length]
+            return jax.jit(f, donate_argnums=(1,)) if jit else f
 
-    init_fn, finish_fn = (
-        (jax.jit(init), jax.jit(finish)) if jit else (init, finish)
-    )
+        if not jit:
+            return build()
+        return _cached_program(backend, base_key + (length,), build)
+
+    if jit:
+        init_fn = _cached_program(
+            backend, base_key + ("init",), lambda: jax.jit(init))
+        finish_fn = _cached_program(
+            backend, base_key + ("finish",), lambda: jax.jit(finish))
+    else:
+        init_fn, finish_fn = init, finish
     bargs = backend_args if factory_mode else None
     be0 = backend(backend_args) if factory_mode else backend
 

@@ -328,3 +328,62 @@ class TestNoiseInjection:
         tab = record_mcts_table(self.KEY_A, backend.num_steps, Z.shape[0], p.N, Z.shape[1:])
         inj = run_search("mcts", backend, Z, self.KEY_B, p, noise=tab)
         np.testing.assert_allclose(np.asarray(inj.x), np.asarray(ref.x), rtol=1e-6, atol=1e-6)
+
+
+class TestProgramCache:
+    """run_search must reuse its jitted programs across calls with the same
+    backend factory and equal settings — rebuilding jax.jit wrappers per
+    call retraces the whole search program every time (on the flagship,
+    ~30 s of host work per call; PARITY round-3 note 6b). The backend
+    factory only runs at trace time, so its call count measures retraces."""
+
+    def _counting_factory(self):
+        calls = []
+        be = make_backend()
+
+        def factory(bargs):
+            calls.append(1)
+            return be
+
+        return factory, calls
+
+    @pytest.mark.parametrize("dispatch", ["whole", "chunked", "per_step"])
+    def test_no_retrace_on_repeat(self, dispatch):
+        # each run_search calls the factory once EAGERLY (scorer lookup)
+        # plus once per traced program; steady state = eager-only delta.
+        factory, calls = self._counting_factory()
+        p = SearchParams(N=3, K=4, B=2, S=3)
+        r1 = run_search("eps_greedy", factory, Z, jax.random.key(0), p,
+                        backend_args=None, dispatch=dispatch)
+        d1 = len(calls)
+        assert d1 > 1  # first call traced at least one program
+        # fresh-but-equal params must also hit the cache
+        r2 = run_search("eps_greedy", factory, Z, jax.random.key(0),
+                        SearchParams(N=3, K=4, B=2, S=3),
+                        backend_args=None, dispatch=dispatch)
+        d2 = len(calls) - d1
+        r3 = run_search("eps_greedy", factory, Z, jax.random.key(0), p,
+                        backend_args=None, dispatch=dispatch)
+        d3 = len(calls) - d1 - d2
+        assert d2 == d3 == 1, f"repeat call retraced the search program ({d1},{d2},{d3})"
+        np.testing.assert_array_equal(np.asarray(r1.x), np.asarray(r2.x))
+        np.testing.assert_array_equal(np.asarray(r1.x), np.asarray(r3.x))
+
+    def test_mcts_no_retrace_on_repeat(self):
+        factory, calls = self._counting_factory()
+        p = SearchParams(N=2, K=2, B=2, S=2)
+        run_search("mcts", factory, Z, jax.random.key(0), p,
+                   backend_args=None, dispatch="per_step")
+        d1 = len(calls)
+        run_search("mcts", factory, Z, jax.random.key(0), p,
+                   backend_args=None, dispatch="per_step")
+        assert len(calls) - d1 == 1
+
+    def test_different_params_rebuild(self):
+        factory, calls = self._counting_factory()
+        run_search("eps_greedy", factory, Z, jax.random.key(0),
+                   SearchParams(N=3, K=4), backend_args=None)
+        n_first = len(calls)
+        run_search("eps_greedy", factory, Z, jax.random.key(0),
+                   SearchParams(N=2, K=4), backend_args=None)
+        assert len(calls) > n_first, "changed params must not reuse the old closure"
