@@ -20,7 +20,11 @@ def nfe_per_sample(method: str, steps: int, p: SearchParams,
         return p.N * steps * per_step
     if method in ("zero_order", "eps_greedy"):
         if backend == "edm":
-            return steps * (p.K * p.N + 1) * per_step
+            # the commit reuses the winning candidate's expand result
+            # (zero_order.py k_body), so K>=1 pays only the expansions;
+            # the reference re-steps the chosen noise (+1 per_step more,
+            # edm/main.py:860-866)
+            return steps * (p.K * p.N + (1 if p.K == 0 else 0)) * per_step
         # SD: 1 base UNet + per (K,N) one lookahead UNet; commit reuses base
         return steps * (1 + p.K * p.N)
     if method == "beam":

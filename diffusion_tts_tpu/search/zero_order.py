@@ -74,7 +74,8 @@ def zero_order_timestep(
     else:
         pivot = jax.random.normal(fold_in_path(key, SALT_PIVOT, i), x.shape, jnp.float32)
 
-    def k_body(pivot, k):
+    def k_body(carry, k):
+        pivot, _ = carry
         if inj.directions is not None:
             dirs = inj.directions[i, k]
         else:
@@ -104,16 +105,23 @@ def zero_order_timestep(
         explore = (bern < explore_eps).reshape((n,) + (1,) * (pivot.ndim))
         cands = jnp.where(explore, fresh, perturbed)
 
-        _, images = backend.expand(x, i, aux, cands)
+        x_next_cands, images = backend.expand(x, i, aux, cands)
         scores = backend.score(images).reshape(n, b)
         best = jnp.argmax(scores, axis=0)  # [B]
-        new_pivot = jnp.take_along_axis(
-            cands, best.reshape((1, b) + (1,) * len(feat_shape)), axis=0
-        )[0]
-        return new_pivot, new_pivot if record_noises else None
+        sel = best.reshape((1, b) + (1,) * len(feat_shape))
+        new_pivot = jnp.take_along_axis(cands, sel, axis=0)[0]
+        # the committed step IS the winning candidate's already-computed
+        # x_next (expand = advance on the same eps) — carrying it here makes
+        # the final backend.advance redundant, saving its 2 underfilled
+        # batch-B UNet forwards per timestep on EDM (the reference re-steps
+        # the chosen noise from scratch, edm/main.py:860-866)
+        new_x_next = jnp.take_along_axis(x_next_cands, sel, axis=0)[0]
+        return (new_pivot, new_x_next), new_pivot if record_noises else None
 
-    pivot, noises = jax.lax.scan(k_body, pivot, jnp.arange(k_iters, dtype=jnp.int32))
-    x_next = backend.advance(x, i, aux, pivot)
+    (pivot, x_next), noises = jax.lax.scan(
+        k_body, (pivot, jnp.zeros_like(x)), jnp.arange(k_iters, dtype=jnp.int32))
+    if k_iters == 0:  # degenerate K=0: commit the fresh pivot (old semantics)
+        x_next = backend.advance(x, i, aux, pivot)
     return x_next, noises
 
 

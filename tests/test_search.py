@@ -239,7 +239,9 @@ def test_nfe_accounting():
     # SURVEY.md §6 cost model rows
     assert nfe_per_sample("naive", 18, p) == 36
     assert nfe_per_sample("rejection", 18, p) == 4 * 36
-    assert nfe_per_sample("eps_greedy", 18, p) == 18 * (20 * 4 + 1) * 2
+    # commit reuses the winning expand result: no +1 advance when K >= 1
+    assert nfe_per_sample("eps_greedy", 18, p) == 18 * (20 * 4) * 2
+    assert nfe_per_sample("eps_greedy", 18, p.replace(K=0)) == 18 * 2
     assert nfe_per_sample("beam", 18, p) == 18 * 2 * 4 * 2
     assert nfe_per_sample("naive", 50, p, backend="sd") == 50
     assert nfe_per_sample("eps_greedy", 50, p, backend="sd") == 50 * (1 + 80)
