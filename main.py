@@ -87,6 +87,10 @@ def main(argv=None):
     parser.add_argument("--compressibility-mode", choices=["jpeg", "dct"], default="jpeg")
     parser.add_argument("--record-noises", action="store_true",
                         help="dump selected noise trajectories for dmap analysis")
+    parser.add_argument("--dtype", choices=["fp32", "bf16"], default="fp32",
+                        help="EDM model compute dtype; bf16 is the TPU-native "
+                             "fast path (~1.5x end-to-end search throughput "
+                             "on the 296M flagship, tools/reward_bench.py)")
     args = parser.parse_args(argv)
 
     # validation (reference main.py:103-107)
@@ -151,11 +155,14 @@ def main(argv=None):
         from diffusion_tts_tpu.backends.edm_entry import generate_image_grid
 
         outname = args.output or f"edm_{args.method}_{args.scorer}.png"
+        import jax.numpy as jnp
+
         generate_image_grid(
             arch=args.arch, weights=args.weights, dest_path=outname,
             scorer=scorer, scorer_needs_labels=needs_cond, method=args.method,
             params=params, seed=args.seed, num_steps=args.num_steps or 18,
             S_churn=40, S_min=0.05, S_max=50, S_noise=1.003,
+            dtype=jnp.bfloat16 if args.dtype == "bf16" else jnp.float32,
             record_noises=args.record_noises,
         )
         print(f"\n[EDM] Saved: {outname}\n")

@@ -34,6 +34,9 @@ def main():
     ap.add_argument("--n", type=int, default=4, help="candidates per iteration")
     ap.add_argument("--iters", type=int, default=4, help="iterations per dispatch")
     ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="capture a jax.profiler trace of one steady-state "
+                         "dispatch into DIR (tools/trace_summary.py reads it)")
     args = ap.parse_args()
 
     from diffusion_tts_tpu.models.sd_unet import UNet2DConditionModel
@@ -118,6 +121,14 @@ def main():
         t0 = time.perf_counter()
         run(uvars, vvars, lat, eps).block_until_ready()
         best = min(best, time.perf_counter() - t0)
+
+    if args.profile:
+        from diffusion_tts_tpu.utils.misc import start_trace, stop_trace
+
+        start_trace(args.profile)
+        run(uvars, vvars, lat, eps).block_until_ready()
+        stop_trace()
+        print(f"profiler trace written to {args.profile}/", file=sys.stderr)
 
     # NFE = UNet forwards (CFG pair = 2 forwards, the reference's accounting)
     nfe = args.iters * n * b * 2
