@@ -11,6 +11,7 @@ conversion is a mechanical rename (models/sd_import.py).
 from __future__ import annotations
 
 import math
+import os
 from typing import Any
 
 import jax
@@ -18,6 +19,11 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 Dtype = Any
+
+# Read once at import (toggling after first trace would be silently inert —
+# the same rule as DTTS_NO_PALLAS_GN): set DTTS_NO_FUSED_UPSAMPLE=1 before
+# process start to A/B the explicit nearest-2x + conv path.
+_NO_FUSED_UPSAMPLE = os.environ.get("DTTS_NO_FUSED_UPSAMPLE", "") not in ("", "0")
 
 
 def sd_timestep_embedding(
@@ -248,6 +254,26 @@ class Downsample2D(nn.Module):
                        dtype=self.dtype, name="conv")(x)
 
 
+class _PhasedUpConv(nn.Module):
+    """nearest-2x + conv3, evaluated as the 2x2-phase decomposition
+    (ops/resample.py): identical params/output to nn.Conv after an
+    explicit upsample, 2.25x fewer MXU FLOPs and no 4x intermediate."""
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from diffusion_tts_tpu.ops.resample import nn_upsample2x_conv3x3
+
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, x.shape[-1], self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        x = x.astype(self.dtype)
+        return nn_upsample2x_conv3x3(
+            x, kernel.astype(self.dtype), bias.astype(self.dtype))
+
+
 class Upsample2D(nn.Module):
     """nearest 2x + conv3 (diffusers upsampling.py)."""
 
@@ -256,11 +282,12 @@ class Upsample2D(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        b, h, w, c = x.shape
-        x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c)).reshape(
-            b, 2 * h, 2 * w, c
-        )
-        return conv3(self.out_channels, self.dtype, "conv")(x)
+        if _NO_FUSED_UPSAMPLE:
+            b, h, w, c = x.shape
+            x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c)
+                                 ).reshape(b, 2 * h, 2 * w, c)
+            return conv3(self.out_channels, self.dtype, "conv")(x)
+        return _PhasedUpConv(self.out_channels, self.dtype, name="conv")(x)
 
 
 __all__ = [
