@@ -124,10 +124,51 @@ def main():
     eps = jax.random.normal(jax.random.key(3), (n_cand, batch, res, res, 3))
     run_iters(variables, x_cur, eps).block_until_ready()  # compile
 
-    # model FLOPs per single forward, from XLA's own cost analysis
-    fwd = jax.jit(lambda v, xx, ss: net.apply(v, xx, ss, labels))
-    cost = fwd.lower(variables, x, sigma).compile().cost_analysis()
-    flops_per_fwd = float(cost["flops"]) / batch if cost and "flops" in cost else 0.0
+    # Model FLOPs per single forward, from XLA's own cost analysis — of the
+    # CANONICAL (reference-formulation) program: the fused upsample+conv
+    # rewrite (ops/resample.py) computes the same NFE with ~4% fewer FLOPs,
+    # and the speed-of-light fraction is defined against the fixed workload
+    # "one Heun-pair NFE of the reference formulation", not against whatever
+    # cheaper program this repo happens to execute (else every FLOP-saving
+    # rewrite would *lower* the reported efficiency at equal throughput).
+    # The flag is a trace-time module constant; pin it for this one lowering.
+    # The count is a property of (model, resolution, batch), so cache it on
+    # disk — the extra remote compile is paid once ever, not per bench run.
+    flops_key = f"canonical_fwd_res{res}_ld{label_dim}_b{batch}"
+    flops_cache_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".jax_cache",
+        "canonical_flops.json")
+    flops_per_fwd = 0.0
+    try:
+        with open(flops_cache_path) as f:
+            flops_per_fwd = float(json.load(f).get(flops_key, 0.0))
+    except (OSError, ValueError):
+        pass
+    if not flops_per_fwd:
+        from diffusion_tts_tpu.models import layers as _layers
+
+        saved = _layers._NO_FUSED_UPSAMPLE
+        _layers._NO_FUSED_UPSAMPLE = True
+        try:
+            fwd = jax.jit(lambda v, xx, ss: net.apply(v, xx, ss, labels))
+            cost = fwd.lower(variables, x, sigma).compile().cost_analysis()
+        finally:
+            _layers._NO_FUSED_UPSAMPLE = saved
+        flops_per_fwd = (
+            float(cost["flops"]) / batch if cost and "flops" in cost else 0.0)
+        if flops_per_fwd and on_tpu:
+            try:
+                try:
+                    with open(flops_cache_path) as f:
+                        d = json.load(f)
+                except (OSError, ValueError):
+                    d = {}
+                d[flops_key] = flops_per_fwd
+                os.makedirs(os.path.dirname(flops_cache_path), exist_ok=True)
+                with open(flops_cache_path, "w") as f:
+                    json.dump(d, f)
+            except OSError:
+                pass
 
     profile_dir = None
     if "--profile" in sys.argv:

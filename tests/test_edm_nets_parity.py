@@ -76,7 +76,14 @@ def _check_all_params_loaded(variables, converted):
     )
 
 
-@pytest.mark.parametrize("name", sorted(NET_CASES))
+# songunet_ddpmpp is the slowest single compile in the default suite
+# (~48 s warm on one core); dhariwal/ncsnpp/skipenc keep the UNet parity
+# path covered by default, and `pytest -m ""` still runs every flavor.
+@pytest.mark.parametrize(
+    "name",
+    [pytest.param(n, marks=pytest.mark.slow) if n == "songunet_ddpmpp"
+     else n for n in sorted(NET_CASES)],
+)
 def test_unet_forward_parity(name):
     state, inputs, golden = _load(name)
     model = NET_CASES[name]()

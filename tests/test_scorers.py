@@ -80,6 +80,8 @@ def test_compressibility_proxy_correlates_and_jits():
     assert scores[-1] > scores[0]
 
 
+@pytest.mark.slow  # ~15 s warm; test_classifier_parity.py keeps classifier
+# golden parity in the default run
 def test_imagenet_scorer_head():
     scorer = ImageNetScorer(
         image_size=16, model_channels=32, out_channels=10, num_res_blocks=1,

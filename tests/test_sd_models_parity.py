@@ -31,6 +31,8 @@ def _check_congruent(variables, converted):
     assert ref == conv, f"missing {sorted(ref-conv)[:4]} extra {sorted(conv-ref)[:4]}"
 
 
+@pytest.mark.slow  # ~30 s warm; sd_vae_parity + the pipeline goldens keep
+# the SD model path in the default run, full parity under `pytest -m ""`
 def test_sd_unet_parity():
     state, data = _load("sd_unet")
     model = UNet2DConditionModel(

@@ -181,6 +181,8 @@ def test_dataset_and_sampler():
     assert batch[0].shape == (4, 8, 8, 3) and batch[0].min() >= -1 and batch[0].max() <= 1
 
 
+@pytest.mark.slow  # ~22 s warm end-to-end loop; train-step/EMA/sharding
+# behavior stays covered by the fast tests above
 def test_training_loop_smoke(tmp_path):
     from diffusion_tts_tpu.training.loop import LoopConfig, training_loop
     from diffusion_tts_tpu.training.dataset import batch_iterator
