@@ -33,7 +33,53 @@ from diffusion_tts_tpu.ops.attention import multihead_attention_fp32
 # import-time read, same rule as the other kernel kill-switches
 _NO_FUSED_UPSAMPLE = os.environ.get("DTTS_NO_FUSED_UPSAMPLE", "") not in ("", "0")
 
+# GN execution strategy on TPU: "xla2" = two-pass XLA producer-fusion GN
+# (ops/groupnorm_xla.py — moments ride the producer's epilogue and the
+# surrounding elementwise chain fuses through), "pallas" = the 3-pass fused
+# kernel (ops/pallas/groupnorm.py), "off" = unfused reference-order fallback.
+# The env var overrides every call site; without it each model family uses
+# its measured-best default (EDM xla2: 454->556 NFE/s; SD pallas: 38.6 vs
+# 31.7 with xla2 — same-day A/B pairs, PARITY round-3 notes). Import-time
+# read: jitted callers cache the traced program, so a post-first-call toggle
+# would silently do nothing anyway.
+# DTTS_NO_PALLAS_GN (the pre-existing A/B kill-switch) keeps its meaning of
+# "unfused reference-order GN" unless an explicit DTTS_GN_MODE overrides it.
+_GN_MODE_ENV = os.environ.get("DTTS_GN_MODE") or (
+    "off" if os.environ.get("DTTS_NO_PALLAS_GN") else "")
+
 Dtype = Any
+
+
+def _fused_gn(x, scale, bias, *, groups, eps, apply_silu, pre=None,
+              prefer="xla2"):
+    """Route a 4D GN(+SiLU) to the TPU fused path for the active GN mode
+    (DTTS_GN_MODE env override, else the call site's `prefer`). Returns
+    None when the caller should use its unfused fallback."""
+    if x.ndim != 4 or jax.default_backend() not in ("tpu", "axon"):
+        return None
+    mode = _GN_MODE_ENV or prefer
+    if mode == "xla2":
+        from diffusion_tts_tpu.ops.groupnorm_xla import group_norm_silu_xla
+
+        return group_norm_silu_xla(
+            x, scale, bias, groups=groups, eps=eps, apply_silu=apply_silu, pre=pre
+        )
+    if mode == "pallas":
+        from diffusion_tts_tpu.ops.pallas.groupnorm import (
+            group_norm_silu,
+            group_norm_silu_prebias,
+            pallas_gn_eligible,
+        )
+
+        if pallas_gn_eligible(x):
+            if pre is None:
+                return group_norm_silu(
+                    x, scale, bias, groups=groups, eps=eps, apply_silu=apply_silu
+                )
+            return group_norm_silu_prebias(
+                x, scale, bias, pre, groups=groups, eps=eps, apply_silu=apply_silu
+            )
+    return None
 
 
 def _kernel_init(mode: str, weight_scale: float, fan_in: int, fan_out: int):
@@ -244,15 +290,11 @@ class EDMGroupNorm(nn.Module):
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
 
-        from diffusion_tts_tpu.ops.pallas.groupnorm import (
-            group_norm_silu,
-            pallas_gn_eligible,
+        fused = _fused_gn(
+            x, scale, bias, groups=groups, eps=self.eps, apply_silu=False
         )
-
-        if x.ndim == 4 and pallas_gn_eligible(x):
-            return group_norm_silu(
-                x, scale, bias, groups=groups, eps=self.eps, apply_silu=False
-            )
+        if fused is not None:
+            return fused
         out = (_group_norm_fp32(x, groups, self.eps) * scale.astype(jnp.float32)
                + bias.astype(jnp.float32))
         return out.astype(x.dtype)
@@ -276,15 +318,11 @@ class EDMGroupNormSiLU(nn.Module):
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
 
-        from diffusion_tts_tpu.ops.pallas.groupnorm import (
-            group_norm_silu,
-            pallas_gn_eligible,
+        fused = _fused_gn(
+            x, scale, bias, groups=groups, eps=self.eps, apply_silu=True
         )
-
-        if x.ndim == 4 and pallas_gn_eligible(x):
-            return group_norm_silu(
-                x, scale, bias, groups=groups, eps=self.eps, apply_silu=True
-            )
+        if fused is not None:
+            return fused
         out = (_group_norm_fp32(x, groups, self.eps) * scale.astype(jnp.float32)
                + bias.astype(jnp.float32))
         return nn.silu(out).astype(x.dtype)
@@ -310,18 +348,15 @@ class EDMAdaptiveGroupNormSiLU(nn.Module):
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
 
-        from diffusion_tts_tpu.ops.pallas.groupnorm import (
-            group_norm_silu,
-            pallas_gn_eligible,
-        )
-
-        if x.ndim == 4 and pallas_gn_eligible(x):
+        if x.ndim == 4:
             ms = mod_scale.astype(jnp.float32) + 1.0  # [B, C]
             eff_scale = scale.astype(jnp.float32)[None, :] * ms
             eff_bias = bias.astype(jnp.float32)[None, :] * ms + mod_shift.astype(jnp.float32)
-            return group_norm_silu(
+            fused = _fused_gn(
                 x, eff_scale, eff_bias, groups=groups, eps=self.eps, apply_silu=True
             )
+            if fused is not None:
+                return fused
         # Unfused fallback: GN (fp32 stats) to x.dtype, then modulate + SiLU
         # in x.dtype — the exact op order of the pre-fusion implementation.
         orig_dtype = x.dtype
@@ -350,15 +385,11 @@ class EDMPreBiasGroupNormSiLU(nn.Module):
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
 
-        from diffusion_tts_tpu.ops.pallas.groupnorm import (
-            group_norm_silu_prebias,
-            pallas_gn_eligible,
+        fused = _fused_gn(
+            x, scale, bias, groups=groups, eps=self.eps, apply_silu=True, pre=pre
         )
-
-        if x.ndim == 4 and pallas_gn_eligible(x):
-            return group_norm_silu_prebias(
-                x, scale, bias, pre, groups=groups, eps=self.eps, apply_silu=True
-            )
+        if fused is not None:
+            return fused
         # Unfused fallback: add in x.dtype, GN with fp32 stats, SiLU —
         # the exact op order of the pre-fusion implementation.
         xin = x + pre[:, None, None, :].astype(x.dtype)

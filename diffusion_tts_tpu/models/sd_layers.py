@@ -46,9 +46,11 @@ class GroupNorm(nn.Module):
     """diffusers nn.GroupNorm(32, eps): fp32 statistics, NHWC.
 
     apply_silu=True fuses the SiLU that follows every ResNet/VAE norm site
-    into the same pass; on TPU with lane-aligned channels (every SD-1.5
-    width: 128..1280) the whole GN(+SiLU) runs as the fused Pallas kernel
-    (ops/pallas/groupnorm.py) — one HBM round-trip instead of three."""
+    into the same pass. TPU routing goes through models/layers._fused_gn
+    with prefer="pallas": same-day A/B at SD-1.5 geometry measured the
+    Pallas kernel at 38.6 NFE/s vs 31.7 for the xla2 producer-fusion path
+    (the reverse of EDM's preference — PARITY round-3 notes), so SD keeps
+    the 3-pass kernel unless DTTS_GN_MODE overrides."""
 
     num_groups: int = 32
     eps: float = 1e-5
@@ -62,16 +64,15 @@ class GroupNorm(nn.Module):
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
 
-        from diffusion_tts_tpu.ops.pallas.groupnorm import (
-            group_norm_silu,
-            pallas_gn_eligible,
-        )
+        from diffusion_tts_tpu.models.layers import _fused_gn
 
-        if x.ndim == 4 and c % g == 0 and pallas_gn_eligible(x):
-            return group_norm_silu(
+        if c % g == 0:
+            fused = _fused_gn(
                 x, scale, bias, groups=g, eps=self.eps,
-                apply_silu=self.apply_silu,
+                apply_silu=self.apply_silu, prefer="pallas",
             )
+            if fused is not None:
+                return fused
         orig = x.dtype
         xf = x.astype(jnp.float32)
         shape = xf.shape

@@ -99,3 +99,39 @@ def test_train_step_grad_through_pallas():
     g = jax.jit(jax.grad(loss))(variables)
     leaves = jax.tree_util.tree_leaves(g)
     assert leaves and all(bool(jnp.all(jnp.isfinite(l))) for l in leaves)
+
+
+@requires_tpu
+def test_gn_xla2_routed_compiled():
+    """The xla2 producer-fusion GN (the EDM-default TPU route,
+    models/layers._fused_gn prefer="xla2") under jit on hardware, with a
+    conv producer so the moment reductions ride its epilogue — checks the
+    routed module output against the unfused reference math."""
+    from diffusion_tts_tpu.models.layers import _fused_gn
+    from tests.test_pallas_groupnorm import ref_gn
+
+    key = jax.random.key(11)
+    x = jax.random.normal(key, (4, 16, 16, 192), jnp.bfloat16)
+    k = jax.random.normal(jax.random.fold_in(key, 1), (3, 3, 192, 192),
+                          jnp.bfloat16) * 0.05
+    scale = jax.random.normal(jax.random.fold_in(key, 2), (192,))
+    bias = jax.random.normal(jax.random.fold_in(key, 3), (192,))
+
+    def conv(xx):
+        return jax.lax.conv_general_dilated(
+            xx, k, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    @jax.jit
+    def fused(xx):
+        y = conv(xx)
+        out = _fused_gn(y, scale, bias, groups=32, eps=1e-5, apply_silu=True,
+                        prefer="xla2")
+        assert out is not None, "xla2 route must be taken on TPU"
+        return out
+
+    got = fused(x)
+    want = ref_gn(conv(x), scale, bias, 32, 1e-5, True)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               atol=5e-2, rtol=5e-2)
