@@ -177,12 +177,15 @@ def main():
         profile_dir = "bench_trace"
         start_trace(profile_dir)
     # Best-of-reps: the development tunnel adds multi-second dispatch-latency
-    # spikes; the fastest rep is the honest device throughput.
+    # spikes; the fastest rep is the honest device throughput. Each rep ends
+    # with a scalar VALUE fetch, not block_until_ready — on axon the latter
+    # can return early with dispatches still queued (observed: an impossible
+    # 809k NFE/s rep, which best-of-reps would happily report).
     reps = 4 if on_tpu else 1
     best_dt = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        run_iters(variables, x_cur, eps).block_until_ready()
+        float(run_iters(variables, x_cur, eps)[0, 0, 0, 0])
         best_dt = min(best_dt, time.perf_counter() - t0)
     if profile_dir:
         from diffusion_tts_tpu.utils.misc import stop_trace

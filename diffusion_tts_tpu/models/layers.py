@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from diffusion_tts_tpu.ops.attention import multihead_attention_fp32
+from diffusion_tts_tpu.ops.attention import fused_qkv_self_attention
 
 # import-time read, same rule as the other kernel kill-switches
 _NO_FUSED_UPSAMPLE = os.environ.get("DTTS_NO_FUSED_UPSAMPLE", "") not in ("", "0")
@@ -511,19 +511,16 @@ class UNetBlock(nn.Module):
 
         if heads:
             b, h, w_, c = x.shape
-            cph = c // heads
             qkv = EDMConv(c * 3, 1, dtype=self.dtype, name="qkv", **init_attn)(
                 EDMGroupNorm(eps=self.eps, dtype=self.dtype, name="norm2")(x)
             )
             # Channel layout (3, heads, cph): the torch->flax converter
             # de-interleaves the reference's ((head, d), 3) projection
             # columns (networks.py:183) so q/k/v are contiguous lane slices
-            # instead of every-3rd-lane gathers (torch_import._deinterleave_qkv).
-            qkv = qkv.reshape(b, h * w_, 3 * c)
-            q = qkv[..., :c].reshape(b, h * w_, heads, cph)
-            k = qkv[..., c:2 * c].reshape(b, h * w_, heads, cph)
-            v = qkv[..., 2 * c:].reshape(b, h * w_, heads, cph)
-            a = multihead_attention_fp32(q, k, v)  # [B, T, heads, cph]
+            # instead of every-3rd-lane gathers (torch_import._deinterleave_qkv)
+            # — which is exactly the layout the fused all-heads kernel
+            # consumes directly (no head-split relayout / BHTD transpose).
+            a = fused_qkv_self_attention(qkv.reshape(b, h * w_, 3 * c), heads)
             a = a.reshape(b, h, w_, c)
             x = EDMConv(c, 1, dtype=self.dtype, name="proj", **init_zero)(a) + x
             x = x * self.skip_scale

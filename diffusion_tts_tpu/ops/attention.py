@@ -46,6 +46,44 @@ def _pallas_eligible(q: jax.Array) -> bool:
     return t >= 1024 and d % 8 == 0
 
 
+def fused_qkv_self_attention(
+    qkv: jax.Array, heads: int, *, use_pallas: bool | None = None
+) -> jax.Array:
+    """All-heads self-attention on the qkv projection's native layout.
+
+    Args:
+      qkv: [B, T, 3C] — q|k|v contiguous lane segments, head-major within
+        each (the 1x1-conv output layout after torch_import's qkv
+        de-interleave).
+      heads: number of attention heads (C must divide by heads).
+
+    Returns [B, T, C] in qkv.dtype, fp32-softmax semantics. On TPU with
+    64-aligned head width this runs the fused Pallas kernel
+    (ops/pallas/attention.py::qkv_self_attention) — no head-split relayout
+    or [B,H,T,D] transpose ever materializes; elsewhere it falls back to
+    splitting heads and the standard attention path.
+    """
+    from diffusion_tts_tpu.ops.pallas.attention import (
+        qkv_self_attention,
+        qkv_self_attention_eligible,
+    )
+
+    if use_pallas is None:
+        use_pallas = (
+            jax.default_backend() in ("tpu", "axon")
+            and qkv_self_attention_eligible(qkv, heads)
+        )
+    if use_pallas:
+        return qkv_self_attention(qkv, heads)
+    b, t, c3 = qkv.shape
+    c = c3 // 3
+    d = c // heads
+    q = qkv[..., :c].reshape(b, t, heads, d)
+    k = qkv[..., c:2 * c].reshape(b, t, heads, d)
+    v = qkv[..., 2 * c:].reshape(b, t, heads, d)
+    return multihead_attention_fp32(q, k, v).reshape(b, t, c)
+
+
 def _xla_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
     orig_dtype = q.dtype
     d = q.shape[-1]
@@ -59,4 +97,4 @@ def _xla_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
     return out.astype(orig_dtype)
 
 
-__all__ = ["multihead_attention_fp32"]
+__all__ = ["multihead_attention_fp32", "fused_qkv_self_attention"]

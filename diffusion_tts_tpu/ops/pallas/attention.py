@@ -159,4 +159,121 @@ def _flash_attention_fwd_only(
     return out.reshape(b, h, t, d).transpose(0, 2, 1, 3)
 
 
-__all__ = ["flash_attention"]
+def _qkv_attn_kernel(qkv_ref, o_ref, *, heads: int, tq: int, scale: float):
+    """All-heads attention on the projection's native [T, 3C] layout.
+
+    One grid step handles every head for one (batch, q-tile): q/k/v for
+    head h are STATIC 64-aligned lane slices of the single resident block,
+    so no transpose or head-split relayout ever exists — the layout ops
+    that cost 7.7% of device self-time in the round-3 xla2 bench trace.
+    T is fully resident (image-attention T <= 4096 at these widths), so
+    softmax is a plain full-row reduction, no online accumulation.
+    """
+    iq = pl.program_id(1)
+    c3 = qkv_ref.shape[2]
+    c = c3 // 3
+    d = c // heads
+    for h in range(heads):
+        q = qkv_ref[0, pl.ds(iq * tq, tq), h * d:(h + 1) * d].astype(jnp.float32)
+        k = qkv_ref[0, :, c + h * d:c + (h + 1) * d].astype(jnp.float32)
+        v = qkv_ref[0, :, 2 * c + h * d:2 * c + (h + 1) * d].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q * scale, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [TQ, T]
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        o = jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ) / l
+        o_ref[0, :, h * d:(h + 1) * d] = o.astype(o_ref.dtype)
+
+
+def _qkv_attention_reference(qkv, heads):
+    """jnp mirror on the same [B, T, 3C] layout (VJP source and CPU path):
+    identical numerics to _attention_reference after the head split."""
+    b, t, c3 = qkv.shape
+    c = c3 // 3
+    q = qkv[..., :c].reshape(b, t, heads, c // heads)
+    k = qkv[..., c:2 * c].reshape(b, t, heads, c // heads)
+    v = qkv[..., 2 * c:].reshape(b, t, heads, c // heads)
+    return _attention_reference(q, k, v).reshape(b, t, c)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _qkv_attn_diff(qkv, heads, interpret):
+    return _qkv_self_attention_fwd_only(qkv, heads=heads, interpret=interpret)
+
+
+def _qkv_attn_diff_fwd(qkv, heads, interpret):
+    return _qkv_attn_diff(qkv, heads, interpret), (qkv,)
+
+
+def _qkv_attn_diff_bwd(heads, interpret, res, g):
+    (qkv,) = res
+    _, vjp = jax.vjp(lambda x: _qkv_attention_reference(x, heads), qkv)
+    return vjp(g)
+
+
+_qkv_attn_diff.defvjp(_qkv_attn_diff_fwd, _qkv_attn_diff_bwd)
+
+
+def qkv_self_attention_eligible(qkv: jax.Array, heads: int) -> bool:
+    """Kernel constraints: 64-aligned head lanes (static lane slices), a
+    viable q-tile, and the whole [T, 3C] block resident in VMEM."""
+    if qkv.ndim != 3 or qkv.shape[2] % (3 * heads):
+        return False
+    t, c3 = qkv.shape[1], qkv.shape[2]
+    d = c3 // 3 // heads
+    return (
+        d % 64 == 0
+        and _fit_tile(t, 256) >= min(t, 128)
+        and t * c3 * qkv.dtype.itemsize <= 8 * 2**20
+    )
+
+
+def qkv_self_attention(qkv: jax.Array, heads: int, *,
+                       interpret: bool = False) -> jax.Array:
+    """Fused all-heads self-attention: [B, T, 3C] -> [B, T, C].
+
+    The input is the UNet qkv 1x1-projection output with q|k|v contiguous
+    and head-major within each (the layout the torch->flax converter
+    produces, torch_import._deinterleave_qkv). fp32-softmax numerics of the
+    reference AttentionOp (edm/training/networks.py:113-126).
+    Differentiable: backward is the VJP of the jnp mirror."""
+    return _qkv_attn_diff(qkv, heads, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "interpret"))
+def _qkv_self_attention_fwd_only(
+    qkv: jax.Array, *, heads: int, interpret: bool = False
+) -> jax.Array:
+    b, t, c3 = qkv.shape
+    assert c3 % 3 == 0 and (c3 // 3) % heads == 0
+    c = c3 // 3
+    d = c // heads
+    tq = _fit_tile(t, 256)
+    # The qkv block's index_map is constant in the q-tile axis, so Mosaic
+    # fetches it once per batch element and revisits it from VMEM.
+    return pl.pallas_call(
+        functools.partial(_qkv_attn_kernel, heads=heads, tq=tq,
+                          scale=1.0 / (d**0.5)),
+        out_shape=jax.ShapeDtypeStruct((b, t, c), qkv.dtype),
+        grid=(b, t // tq),
+        in_specs=[
+            pl.BlockSpec((1, t, c3), lambda bi, iq: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tq, c), lambda bi, iq: (bi, iq, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * heads * t * t * d,
+            bytes_accessed=(3 + 1) * b * t * c * qkv.dtype.itemsize,
+            transcendentals=b * heads * t * t,
+        ),
+    )(qkv)
+
+
+__all__ = ["flash_attention", "qkv_self_attention", "qkv_self_attention_eligible"]

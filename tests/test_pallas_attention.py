@@ -32,3 +32,47 @@ def test_flash_attention_matches_xla(shape, dtype):
     np.testing.assert_allclose(
         np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=tol, rtol=tol
     )
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+@pytest.mark.parametrize("t,heads,d", [(256, 2, 64), (64, 3, 64)])
+def test_qkv_self_attention_matches_reference(t, heads, d, dtype):
+    """The fused all-heads kernel on the native [B, T, 3C] projection
+    layout vs splitting heads + standard attention (interpret mode)."""
+    from diffusion_tts_tpu.ops.pallas.attention import (
+        qkv_self_attention,
+        _qkv_attention_reference,
+    )
+
+    b, c = 2, heads * d
+    qkv = jax.random.normal(jax.random.key(5), (b, t, 3 * c), dtype)
+    out = qkv_self_attention(qkv, heads, interpret=True)
+    ref = _qkv_attention_reference(qkv, heads)
+    tol = 2e-6 if dtype == jnp.float32 else 2e-2
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        atol=tol, rtol=tol)
+    # differentiability (native-AD through the custom_vjp jnp mirror)
+    gf = jax.grad(lambda x: jnp.sum(
+        qkv_self_attention(x, heads, interpret=True) ** 2))(qkv)
+    gr = jax.grad(lambda x: jnp.sum(_qkv_attention_reference(x, heads) ** 2))(qkv)
+    np.testing.assert_allclose(np.asarray(gf, np.float32),
+                               np.asarray(gr, np.float32), atol=2e-2, rtol=2e-2)
+
+
+def test_fused_qkv_wrapper_fallback_matches():
+    """CPU route of fused_qkv_self_attention == the pallas kernel's
+    numerics, and ineligible shapes (d=32) take the fallback."""
+    from diffusion_tts_tpu.ops.attention import fused_qkv_self_attention
+    from diffusion_tts_tpu.ops.pallas.attention import (
+        qkv_self_attention_eligible,
+        _qkv_attention_reference,
+    )
+
+    qkv = jax.random.normal(jax.random.key(9), (1, 128, 3 * 128), jnp.float32)
+    out = fused_qkv_self_attention(qkv, 2)  # CPU -> fallback path
+    ref = _qkv_attention_reference(qkv, 2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-6, rtol=2e-6)
+    assert qkv_self_attention_eligible(qkv, 2)
+    assert not qkv_self_attention_eligible(qkv, 4)  # d=32: unaligned lanes

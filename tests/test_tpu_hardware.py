@@ -135,3 +135,22 @@ def test_gn_xla2_routed_compiled():
     np.testing.assert_allclose(np.asarray(got, np.float32),
                                np.asarray(want, np.float32),
                                atol=5e-2, rtol=5e-2)
+
+
+@requires_tpu
+def test_qkv_self_attention_compiled():
+    """The fused all-heads qkv attention kernel COMPILED on hardware vs the
+    jnp mirror, at the EDM res-32 hot shape."""
+    from diffusion_tts_tpu.ops.pallas.attention import (
+        qkv_self_attention,
+        _qkv_attention_reference,
+    )
+
+    heads, d = 6, 64
+    qkv = jax.random.normal(jax.random.key(4), (4, 1024, 3 * heads * d),
+                            jnp.bfloat16)
+    got = qkv_self_attention(qkv, heads)
+    want = _qkv_attention_reference(qkv, heads)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               atol=3e-2, rtol=3e-2)
