@@ -34,8 +34,10 @@ def test_flash_attention_matches_xla(shape, dtype):
     )
 
 
-@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
-@pytest.mark.parametrize("t,heads,d", [(256, 2, 64), (64, 3, 64)])
+@pytest.mark.parametrize("dtype,t,heads,d", [
+    (jnp.float32, 512, 2, 64),   # multi-tile q (tq=256 -> 2 q-tiles)
+    (jnp.bfloat16, 64, 3, 64),   # odd head count, single tile
+])
 def test_qkv_self_attention_matches_reference(t, heads, d, dtype):
     """The fused all-heads kernel on the native [B, T, 3C] projection
     layout vs splitting heads + standard attention (interpret mode)."""
@@ -44,7 +46,7 @@ def test_qkv_self_attention_matches_reference(t, heads, d, dtype):
         _qkv_attention_reference,
     )
 
-    b, c = 2, heads * d
+    b, c = 1, heads * d
     qkv = jax.random.normal(jax.random.key(5), (b, t, 3 * c), dtype)
     out = qkv_self_attention(qkv, heads, interpret=True)
     ref = _qkv_attention_reference(qkv, heads)
@@ -52,12 +54,26 @@ def test_qkv_self_attention_matches_reference(t, heads, d, dtype):
     np.testing.assert_allclose(
         np.asarray(out, np.float32), np.asarray(ref, np.float32),
         atol=tol, rtol=tol)
-    # differentiability (native-AD through the custom_vjp jnp mirror)
+
+
+def test_qkv_self_attention_grads():
+    """Native-AD grads through the custom_vjp jnp mirror (small shape —
+    interpret-mode forwards dominate suite time at larger T)."""
+    from diffusion_tts_tpu.ops.pallas.attention import (
+        qkv_self_attention,
+        _qkv_attention_reference,
+    )
+
+    heads = 3
+    qkv = jax.random.normal(jax.random.key(5), (2, 64, 3 * heads * 64),
+                            jnp.float32)
     gf = jax.grad(lambda x: jnp.sum(
         qkv_self_attention(x, heads, interpret=True) ** 2))(qkv)
-    gr = jax.grad(lambda x: jnp.sum(_qkv_attention_reference(x, heads) ** 2))(qkv)
+    gr = jax.grad(lambda x: jnp.sum(
+        _qkv_attention_reference(x, heads) ** 2))(qkv)
     np.testing.assert_allclose(np.asarray(gf, np.float32),
-                               np.asarray(gr, np.float32), atol=2e-2, rtol=2e-2)
+                               np.asarray(gr, np.float32),
+                               atol=2e-2, rtol=2e-2)
 
 
 def test_fused_qkv_wrapper_fallback_matches():
