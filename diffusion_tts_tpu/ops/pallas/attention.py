@@ -32,24 +32,29 @@ def _fit_tile(t: int, want: int) -> int:
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, tk: int, scale: float):
-    q = q_ref[0].astype(jnp.float32) * scale  # [TQ, D]
+    # Matmul operands stay in the activation dtype: bf16 products are exact
+    # in the MXU's fp32 accumulator (scale applied afterwards in fp32), and
+    # the softmax weights are cast back for PV — the reference AttentionOp's
+    # cast point (networks.py:122-124) — at ~4x the fp32 MXU rate.
+    q = q_ref[0]  # [TQ, D]
     t = k_ref.shape[1]
     tq, d = q.shape
     num_kb = t // tk
 
     def body(kb, carry):
         m, l, acc = carry
-        k = k_ref[0, pl.ds(kb * tk, tk), :].astype(jnp.float32)  # [TK, D]
-        v = v_ref[0, pl.ds(kb * tk, tk), :].astype(jnp.float32)
+        k = k_ref[0, pl.ds(kb * tk, tk), :]  # [TK, D]
+        v = v_ref[0, pl.ds(kb * tk, tk), :]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # [TQ, TK]
+        ) * scale  # [TQ, TK] fp32
         m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m - m_new)
         l_new = l * alpha + jnp.sum(p, axis=1, keepdims=True)
         acc_new = acc * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
         return m_new, l_new, acc_new
 
@@ -174,6 +179,10 @@ def _qkv_attn_kernel(qkv_ref, o_ref, *, heads: int, tq: int, scale: float):
     c = c3 // 3
     d = c // heads
     for h in range(heads):
+        # fp32 operands measure FASTER here than native-bf16 matmuls
+        # (592 vs 583 NFE/s on the flagship bench): at d=64 the kernel is
+        # bound by the 64-lane head slicing / VMEM traffic, not the MXU,
+        # and bf16's (16, 128) tiling makes the odd-64 lane slices dearer.
         q = qkv_ref[0, pl.ds(iq * tq, tq), h * d:(h + 1) * d].astype(jnp.float32)
         k = qkv_ref[0, :, c + h * d:c + (h + 1) * d].astype(jnp.float32)
         v = qkv_ref[0, :, 2 * c + h * d:2 * c + (h + 1) * d].astype(jnp.float32)
