@@ -47,15 +47,19 @@ class GroupNorm(nn.Module):
 
     apply_silu=True fuses the SiLU that follows every ResNet/VAE norm site
     into the same pass. TPU routing goes through models/layers._fused_gn
-    with prefer="pallas": same-day A/B at SD-1.5 geometry measured the
-    Pallas kernel at 38.6 NFE/s vs 31.7 for the xla2 producer-fusion path
-    (the reverse of EDM's preference — PARITY round-3 notes), so SD keeps
-    the 3-pass kernel unless DTTS_GN_MODE overrides."""
+    with this module's `prefer`: the UNet keeps the Pallas kernel (whole-
+    model xla2 measured 31.7 vs 38.6 NFE/s), while the VAE — a pure conv
+    chain, the producer-fusion-favorable case — passes prefer="xla2"
+    (A/B pairs in PARITY round-3 notes). DTTS_GN_MODE overrides all."""
 
     num_groups: int = 32
     eps: float = 1e-5
     dtype: Dtype = jnp.float32
     apply_silu: bool = False
+    # per-site routing: the UNet measures best on the Pallas kernel, the
+    # VAE (a pure conv chain, the xla2-favorable case) on the producer-
+    # fusion path — see the A/B pairs in PARITY round-3 notes.
+    prefer: str = "pallas"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -69,7 +73,7 @@ class GroupNorm(nn.Module):
         if c % g == 0:
             fused = _fused_gn(
                 x, scale, bias, groups=g, eps=self.eps,
-                apply_silu=self.apply_silu, prefer="pallas",
+                apply_silu=self.apply_silu, prefer=self.prefer,
             )
             if fused is not None:
                 return fused
@@ -102,18 +106,21 @@ class ResnetBlock2D(nn.Module):
     groups: int = 32
     eps: float = 1e-5
     dtype: Dtype = jnp.float32
+    gn_prefer: str = "pallas"
 
     @nn.compact
     def __call__(self, x, temb=None, *, train=False):
         in_ch = x.shape[-1]
-        h = GroupNorm(self.groups, self.eps, apply_silu=True, name="norm1")(x)
+        h = GroupNorm(self.groups, self.eps, apply_silu=True,
+                      prefer=self.gn_prefer, name="norm1")(x)
         h = conv3(self.out_channels, self.dtype, "conv1")(h)
         if self.use_temb and temb is not None:
             t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(
                 nn.silu(temb)
             )
             h = h + t[:, None, None, :].astype(h.dtype)
-        h = GroupNorm(self.groups, self.eps, apply_silu=True, name="norm2")(h)
+        h = GroupNorm(self.groups, self.eps, apply_silu=True,
+                      prefer=self.gn_prefer, name="norm2")(h)
         if self.dropout > 0.0:
             h = nn.Dropout(self.dropout, deterministic=not train)(h)
         h = conv3(self.out_channels, self.dtype, "conv2")(h)

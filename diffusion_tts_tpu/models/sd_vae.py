@@ -25,6 +25,14 @@ from diffusion_tts_tpu.models.sd_layers import (
 Dtype = Any
 
 
+# GN routing note (PARITY round-3): the VAE explicitly pins prefer="pallas".
+# Routing its GroupNorms through the xla2 producer-fusion path was measured
+# SLOWER (sd_bench batch 1: 31.0 vs 38.3 NFE/s all-pallas) despite the VAE
+# being a pure conv chain — at 512x512 spatial the per-(B,C) moment
+# reduction is too large to ride the conv epilogue and becomes a standalone
+# multi-stage reduce. Both SD halves therefore keep the 3-pass kernel.
+
+
 class VAEAttention(nn.Module):
     """Mid-block self-attention over spatial tokens (diffusers Attention with
     a single head of size C; GroupNorm input norm, fp32 softmax)."""
@@ -36,7 +44,7 @@ class VAEAttention(nn.Module):
     def __call__(self, x):
         b, h, w, c = x.shape
         res = x
-        t = GroupNorm(self.groups, 1e-6, name="group_norm")(x).reshape(b, h * w, c)
+        t = GroupNorm(self.groups, 1e-6, prefer="pallas", name="group_norm")(x).reshape(b, h * w, c)
         q = nn.Dense(c, dtype=self.dtype, name="to_q")(t)
         k = nn.Dense(c, dtype=self.dtype, name="to_k")(t)
         v = nn.Dense(c, dtype=self.dtype, name="to_v")(t)
@@ -58,10 +66,10 @@ class _MidBlock(nn.Module):
     def __call__(self, x):
         ch = x.shape[-1]
         x = ResnetBlock2D(ch, use_temb=False, groups=self.groups, eps=1e-6,
-                          dtype=self.dtype, name="resnets_0")(x)
+                          dtype=self.dtype, gn_prefer="pallas", name="resnets_0")(x)
         x = VAEAttention(self.groups, self.dtype, name="attentions_0")(x)
         x = ResnetBlock2D(ch, use_temb=False, groups=self.groups, eps=1e-6,
-                          dtype=self.dtype, name="resnets_1")(x)
+                          dtype=self.dtype, gn_prefer="pallas", name="resnets_1")(x)
         return x
 
 
@@ -87,7 +95,8 @@ class Encoder(nn.Module):
                 p = self.cfg
                 for j in range(p.layers_per_block):
                     x = ResnetBlock2D(self.out_ch, use_temb=False, groups=p.groups,
-                                      eps=1e-6, dtype=p.dtype, name=f"resnets_{j}")(x)
+                                      eps=1e-6, dtype=p.dtype, gn_prefer="pallas",
+                                      name=f"resnets_{j}")(x)
                 if self.add_down:
                     x = Downsample2D(self.out_ch, padding=0, dtype=p.dtype,
                                      name="downsamplers_0")(x)
@@ -97,7 +106,8 @@ class Encoder(nn.Module):
             x = _Down(out_ch=ch, add_down=(i < len(bo) - 1), cfg=self,
                       name=f"down_blocks_{i}")(x)
         x = _MidBlock(self.groups, self.dtype, name="mid_block")(x)
-        x = GroupNorm(self.groups, 1e-6, apply_silu=True, name="conv_norm_out")(x)
+        x = GroupNorm(self.groups, 1e-6, apply_silu=True, prefer="pallas",
+                      name="conv_norm_out")(x)
         return conv3(2 * self.latent_channels, self.dtype, "conv_out")(x)
 
 
@@ -124,7 +134,8 @@ class Decoder(nn.Module):
                 p = self.cfg
                 for j in range(p.layers_per_block + 1):
                     x = ResnetBlock2D(self.out_ch, use_temb=False, groups=p.groups,
-                                      eps=1e-6, dtype=p.dtype, name=f"resnets_{j}")(x)
+                                      eps=1e-6, dtype=p.dtype, gn_prefer="pallas",
+                                      name=f"resnets_{j}")(x)
                 if self.add_up:
                     x = Upsample2D(self.out_ch, dtype=p.dtype, name="upsamplers_0")(x)
                 return x
@@ -132,7 +143,8 @@ class Decoder(nn.Module):
         for i, ch in enumerate(reversed(bo)):
             x = _Up(out_ch=ch, add_up=(i < len(bo) - 1), cfg=self,
                     name=f"up_blocks_{i}")(x)
-        x = GroupNorm(self.groups, 1e-6, apply_silu=True, name="conv_norm_out")(x)
+        x = GroupNorm(self.groups, 1e-6, apply_silu=True, prefer="pallas",
+                      name="conv_norm_out")(x)
         return conv3(self.out_channels, self.dtype, "conv_out")(x)
 
 
