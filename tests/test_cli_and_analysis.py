@@ -67,7 +67,10 @@ def test_generate_seed_sharded(tmp_path):
     np.testing.assert_array_equal(a, b)
 
 
-def test_dmap_analysis(tmp_path):
+def test_dmap_numerics(tmp_path):
+    """Trajectory round-trip, Mahalanobis norms, diffusion-map embedding —
+    the numeric core of the dmap analysis, kept in the default suite (the
+    matplotlib figure set is the slow-marked test below)."""
     from diffusion_tts_tpu.analysis import dmap
 
     rng = np.random.default_rng(0)
@@ -78,6 +81,16 @@ def test_dmap_analysis(tmp_path):
     assert norms.shape == (4, 6)
     emb = dmap.diffusion_map(noises.reshape(24, -1), n_components=2)
     assert emb.shape == (24, 2) and np.isfinite(emb).all()
+
+
+@pytest.mark.slow  # ~20 s: matplotlib figure set + t-SNE + GIF rendering
+def test_dmap_analysis(tmp_path):
+    from diffusion_tts_tpu.analysis import dmap
+
+    rng = np.random.default_rng(0)
+    noises = rng.normal(size=(4, 3, 2, 8, 8, 3)).astype(np.float32)
+    path = str(tmp_path / "noises.npz")
+    dmap.save_noise_trajectories(path, noises, t_steps=np.linspace(80, 0, 5))
     written = dmap.create_visualizations(path, str(tmp_path / "viz"))
     assert any(w.endswith("noise_norms.npy") for w in written)
     assert any(w.endswith("diffusion_map.npy") for w in written)
