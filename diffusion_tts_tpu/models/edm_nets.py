@@ -220,8 +220,11 @@ class SongUNet(nn.Module):
                 aux_out = tmp if aux_out is None else tmp + aux_out
             else:
                 if "_block" in name:
-                    x = jnp.concatenate([x, skips.pop()], axis=-1)
-                x = m(x, emb, train=train)
+                    # skip_cat: norm0 consumes (x, skip) as parts so the
+                    # moment reductions fuse into each producer
+                    x = m(x, emb, skip_cat=skips.pop(), train=train)
+                else:
+                    x = m(x, emb, train=train)
         return aux_out
 
 
@@ -346,8 +349,11 @@ class DhariwalUNet(nn.Module):
         for name in self._dec_names:
             m = self.dec[name]
             if "_block" in name:
-                x = jnp.concatenate([x, skips.pop()], axis=-1)
-            x = m(x, emb, train=train)
+                # skip_cat: norm0 consumes (x, skip) as parts so the moment
+                # reductions fuse into each producer
+                x = m(x, emb, skip_cat=skips.pop(), train=train)
+            else:
+                x = m(x, emb, train=train)
         return self.out_conv(self.out_norm(x))
 
 

@@ -53,9 +53,13 @@ Dtype = Any
 def _fused_gn(x, scale, bias, *, groups, eps, apply_silu, pre=None,
               prefer="xla2"):
     """Route a 4D GN(+SiLU) to the TPU fused path for the active GN mode
-    (DTTS_GN_MODE env override, else the call site's `prefer`). Returns
+    (DTTS_GN_MODE env override, else the call site's `prefer`). `x` may be
+    a tuple of channel parts (a not-yet-materialized concat) — only the
+    xla2 path exploits it; other modes see the concatenation. Returns
     None when the caller should use its unfused fallback."""
-    if x.ndim != 4 or jax.default_backend() not in ("tpu", "axon"):
+    is_parts = isinstance(x, (tuple, list))
+    if (x[0] if is_parts else x).ndim != 4 \
+            or jax.default_backend() not in ("tpu", "axon"):
         return None
     mode = _GN_MODE_ENV or prefer
     if mode == "xla2":
@@ -64,6 +68,8 @@ def _fused_gn(x, scale, bias, *, groups, eps, apply_silu, pre=None,
         return group_norm_silu_xla(
             x, scale, bias, groups=groups, eps=eps, apply_silu=apply_silu, pre=pre
         )
+    if is_parts:
+        x = jnp.concatenate(x, axis=-1)
     if mode == "pallas":
         from diffusion_tts_tpu.ops.pallas.groupnorm import (
             group_norm_silu,
@@ -312,8 +318,12 @@ class EDMGroupNormSiLU(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
-        c = x.shape[-1]
+    def __call__(self, x) -> jax.Array:
+        # x may be a tuple of channel parts (an unmaterialized concat, the
+        # decoder's cat(x, enc_skip) input) — the xla2 route then computes
+        # each part's moments in its own producer's epilogue.
+        parts = isinstance(x, (tuple, list))
+        c = sum(p.shape[-1] for p in x) if parts else x.shape[-1]
         groups = min(self.num_groups, c // self.min_channels_per_group)
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
@@ -323,6 +333,8 @@ class EDMGroupNormSiLU(nn.Module):
         )
         if fused is not None:
             return fused
+        if parts:
+            x = jnp.concatenate(x, axis=-1)
         out = (_group_norm_fp32(x, groups, self.eps) * scale.astype(jnp.float32)
                + bias.astype(jnp.float32))
         return nn.silu(out).astype(x.dtype)
@@ -461,10 +473,20 @@ class UNetBlock(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, emb: jax.Array, *, train: bool = False) -> jax.Array:
+    def __call__(self, x: jax.Array, emb: jax.Array, *,
+                 skip_cat: jax.Array | None = None,
+                 train: bool = False) -> jax.Array:
         init = dict(self.init or {})
         init_zero = dict(self.init_zero or {"init_weight": 0.0})
         init_attn = dict(self.init_attn) if self.init_attn is not None else init
+        # skip_cat: an encoder feature to channel-concatenate onto x (the
+        # decoder's cat(x, skip) input, reference networks.py:350/457).
+        # Passing it separately lets norm0 consume the two parts directly —
+        # their moment reductions ride each part's producer epilogue, where
+        # a reduce over an explicit concatenate never fuses.
+        norm_in = x if skip_cat is None else (x, skip_cat)
+        if skip_cat is not None:
+            x = jnp.concatenate([x, skip_cat], axis=-1)
         in_channels = x.shape[-1]
         heads = (
             0
@@ -477,7 +499,7 @@ class UNetBlock(nn.Module):
         )
 
         orig = x
-        x = EDMGroupNormSiLU(eps=self.eps, dtype=self.dtype, name="norm0")(x)
+        x = EDMGroupNormSiLU(eps=self.eps, dtype=self.dtype, name="norm0")(norm_in)
         x = EDMConv(
             self.out_channels, 3, up=self.up, down=self.down,
             resample_filter=self.resample_filter, dtype=self.dtype, name="conv0", **init,

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 
 
 def group_norm_silu_xla(
-    x: jax.Array,
+    x,
     scale: jax.Array,
     bias: jax.Array,
     *,
@@ -40,31 +40,50 @@ def group_norm_silu_xla(
     """silu((GN(x [+ pre]) * scale + bias)) in two fused XLA passes.
 
     Args:
-      x: [B, H, W, C] (NHWC), any float dtype.
+      x: [B, H, W, C] (NHWC), any float dtype — or a tuple/list of channel
+        parts [B, H, W, Ci] representing their (never-materialized-here)
+        channel concatenation: each part's moments ride its OWN producer's
+        epilogue, which a reduce over an explicit `concatenate` cannot do
+        (the UNet decoder's cat(x, enc_skip) block inputs).
       scale, bias: [C] or per-sample [B, C] (AdaGN folds its modulation in).
       pre: optional per-sample additive pre-bias [B, C], added before the
         statistics (the SongUNet norm1 pattern).
 
     Returns [B, H, W, C] in x.dtype.
     """
-    b, h, w, c = x.shape
+    parts = list(x) if isinstance(x, (tuple, list)) else [x]
+    b, h, w, _ = parts[0].shape
+    c = sum(p.shape[-1] for p in parts)
     assert c % groups == 0
     cg = c // groups
+    pre_f = (None if pre is None
+             else pre.astype(jnp.float32).reshape(-1, 1, 1, c))
 
-    def xin_f32():
-        xf = x.astype(jnp.float32)
-        if pre is not None:
-            xf = xf + pre.astype(jnp.float32).reshape(-1, 1, 1, c)
-        return xf
+    def part_f32(i, lo, hi):
+        pf = parts[i].astype(jnp.float32)
+        if pre_f is not None:
+            pf = pf + pre_f[..., lo:hi]
+        return pf
+
+    bounds = []
+    off = 0
+    for p in parts:
+        bounds.append((off, off + p.shape[-1]))
+        off += p.shape[-1]
 
     # Moments per (B, C): reduces over the spatial dims only, so the
     # reduction output is tiny and XLA emits it as an epilogue of whatever
-    # wrote x (conv / residual-add fusion). Recomputing `xin_f32()` in the
-    # normalize pass below is deliberate: it keeps this op a pure consumer
-    # in both fusions instead of forcing an extra materialization.
-    xf = xin_f32()
-    colsum = xf.sum(axis=(1, 2))          # [B, C]
-    colsumsq = (xf * xf).sum(axis=(1, 2))  # [B, C]
+    # wrote that part (conv / residual-add fusion). Recomputing `part_f32`
+    # in the normalize pass below is deliberate: it keeps this op a pure
+    # consumer in both fusions instead of forcing an extra materialization.
+    sums, sumsqs = [], []
+    for i, (lo, hi) in enumerate(bounds):
+        pf = part_f32(i, lo, hi)
+        sums.append(pf.sum(axis=(1, 2)))
+        sumsqs.append((pf * pf).sum(axis=(1, 2)))
+    colsum = sums[0] if len(sums) == 1 else jnp.concatenate(sums, axis=-1)
+    colsumsq = (sumsqs[0] if len(sumsqs) == 1
+                else jnp.concatenate(sumsqs, axis=-1))
 
     n = float(h * w * cg)
     gsum = colsum.reshape(b, groups, cg).sum(axis=-1)      # [B, G]
@@ -80,10 +99,15 @@ def group_norm_silu_xla(
 
     scale_f = scale.astype(jnp.float32).reshape(-1, 1, 1, c)
     bias_f = bias.astype(jnp.float32).reshape(-1, 1, 1, c)
-    out = (xin_f32() - mean) * rstd * scale_f + bias_f
-    if apply_silu:
-        out = out * jax.nn.sigmoid(out)
-    return out.astype(x.dtype)
+    outs = []
+    for i, (lo, hi) in enumerate(bounds):
+        o = (part_f32(i, lo, hi) - mean[..., lo:hi]) * rstd[..., lo:hi] \
+            * scale_f[..., lo:hi] + bias_f[..., lo:hi]
+        if apply_silu:
+            o = o * jax.nn.sigmoid(o)
+        outs.append(o)
+    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-1)
+    return out.astype(parts[0].dtype)
 
 
 __all__ = ["group_norm_silu_xla"]

@@ -89,3 +89,31 @@ def test_xla2_constant_group_clamp():
         x, jnp.ones((64,)), jnp.zeros((64,)), groups=8, eps=1e-5,
         apply_silu=False)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_xla2_parts_equals_concat():
+    """A tuple of channel parts (the decoder's unmaterialized cat(x, skip))
+    must produce bit-identical output to the explicit concatenation —
+    including group boundaries that do NOT align with the part boundary."""
+    key = jax.random.key(13)
+    a = jax.random.normal(key, (2, 4, 4, 80), jnp.float32)
+    b = jax.random.normal(jax.random.fold_in(key, 1), (2, 4, 4, 48), jnp.float32)
+    c = 128
+    scale = jax.random.normal(jax.random.fold_in(key, 2), (c,))
+    bias = jax.random.normal(jax.random.fold_in(key, 3), (c,))
+    pre = jax.random.normal(jax.random.fold_in(key, 4), (2, c)) * 0.3
+    # (a, b) splits at 80 = a whole number of groups (cg=8); (a2, b2)
+    # splits at 76, INSIDE a group — stats for that group must still merge
+    # exactly across the part boundary.
+    a2, b2 = a[..., :76], jnp.concatenate([a[..., 76:], b], axis=-1)
+    for silu in (True, False):
+        want = group_norm_silu_xla(
+            jnp.concatenate([a, b], axis=-1), scale, bias, groups=16,
+            eps=1e-5, apply_silu=silu, pre=pre)
+        got = group_norm_silu_xla(
+            (a, b), scale, bias, groups=16, eps=1e-5, apply_silu=silu, pre=pre)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        got2 = group_norm_silu_xla(
+            (a2, b2), scale, bias, groups=16, eps=1e-5, apply_silu=silu, pre=pre)
+        np.testing.assert_allclose(np.asarray(got2), np.asarray(want),
+                                   atol=1e-6, rtol=1e-6)
