@@ -179,10 +179,11 @@ def _qkv_attn_kernel(qkv_ref, o_ref, *, heads: int, tq: int, scale: float):
     c = c3 // 3
     d = c // heads
     for h in range(heads):
-        # fp32 operands measure FASTER here than native-bf16 matmuls
-        # (592 vs 583 NFE/s on the flagship bench): at d=64 the kernel is
-        # bound by the 64-lane head slicing / VMEM traffic, not the MXU,
-        # and bf16's (16, 128) tiling makes the odd-64 lane slices dearer.
+        # fp32 operands: the kernel runs at ~95% of the fp32(x3-pass)
+        # matmul roof and is bound by the 64-lane head slicing, not the
+        # MXU — both an all-bf16 variant (592 -> 583 NFE/s) and a
+        # bf16-QK^T-only variant (603.7 -> 601.9) measured no better on
+        # the flagship bench, so the numerically-simplest form stays.
         q = qkv_ref[0, pl.ds(iq * tq, tq), h * d:(h + 1) * d].astype(jnp.float32)
         k = qkv_ref[0, :, c + h * d:c + (h + 1) * d].astype(jnp.float32)
         v = qkv_ref[0, :, 2 * c + h * d:2 * c + (h + 1) * d].astype(jnp.float32)
