@@ -26,11 +26,16 @@ Dtype = Any
 
 
 # GN routing note (PARITY round-3): the VAE explicitly pins prefer="pallas".
-# Routing its GroupNorms through the xla2 producer-fusion path was measured
-# SLOWER (sd_bench batch 1: 31.0 vs 38.3 NFE/s all-pallas) despite the VAE
-# being a pure conv chain — at 512x512 spatial the per-(B,C) moment
-# reduction is too large to ride the conv epilogue and becomes a standalone
-# multi-stage reduce. Both SD halves therefore keep the 3-pass kernel.
+# Routing its GroupNorms through the xla2 producer-fusion path measured
+# SLOWER (sd_bench batch 1: 31.0/31.9 vs 38.3 NFE/s all-pallas, reproduced)
+# despite the VAE being a pure conv chain. The compiled HLO shows why: at
+# 512x512 spatial XLA decomposes the conv into row-chunked pieces whose
+# output layout ({3,1,2,0}) disagrees with the layout its reduce wants
+# ({3,0,2,1}), so the moment reductions cannot ride the conv epilogue and
+# the program inserts ~134 MB fp32 materializations + layout copies per
+# norm site — regardless of how the moments are phrased (fp32-upcast and
+# input-dtype accumulate formulations both measured ~31). The 3-pass
+# Pallas kernel has no layout opinion and stays the VAE route.
 
 
 class VAEAttention(nn.Module):

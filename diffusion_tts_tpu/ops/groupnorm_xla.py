@@ -71,19 +71,33 @@ def group_norm_silu_xla(
         bounds.append((off, off + p.shape[-1]))
         off += p.shape[-1]
 
-    # Moments per (B, C): reduces over the spatial dims only, so the
-    # reduction output is tiny and XLA emits it as an epilogue of whatever
-    # wrote that part (conv / residual-add fusion). Recomputing `part_f32`
-    # in the normalize pass below is deliberate: it keeps this op a pure
-    # consumer in both fusions instead of forcing an extra materialization.
+    # Moments per (B, C) straight off the INPUT-dtype tensor: reduces with
+    # an fp32 accumulator (dtype=) over the spatial dims, so the reduction
+    # output is tiny and XLA emits it as an epilogue of whatever wrote that
+    # part (conv / residual-add fusion). Upcasting first looks equivalent
+    # but is not: at large spatial sizes XLA materializes the fp32 upcast
+    # (and the fp32 square) as full tensors plus layout copies — observed
+    # as 2x134 MB fp32 writes per VAE-decoder GN. The square is computed in
+    # the input dtype for the same reason; for bf16 activations that
+    # rounds each x^2 to bf16 before the fp32 accumulation (<=0.4% per
+    # element on values the activations already quantize to bf16) — the
+    # mean/rstd themselves still accumulate and resolve in fp32. The
+    # per-sample `pre` folds into the raw moments analytically on [B, C]
+    # (sum' = sum + HW*p, sumsq' = sumsq + 2p*sum + HW*p^2 — the same
+    # identity the Pallas kernel uses), never touching the big tensor.
     sums, sumsqs = [], []
     for i, (lo, hi) in enumerate(bounds):
-        pf = part_f32(i, lo, hi)
-        sums.append(pf.sum(axis=(1, 2)))
-        sumsqs.append((pf * pf).sum(axis=(1, 2)))
+        p = parts[i]
+        sums.append(p.sum(axis=(1, 2), dtype=jnp.float32))
+        sumsqs.append((p * p).sum(axis=(1, 2), dtype=jnp.float32))
     colsum = sums[0] if len(sums) == 1 else jnp.concatenate(sums, axis=-1)
     colsumsq = (sumsqs[0] if len(sumsqs) == 1
                 else jnp.concatenate(sumsqs, axis=-1))
+    if pre is not None:
+        pc = pre.astype(jnp.float32).reshape(-1, c)
+        n_hw = float(h * w)
+        colsumsq = colsumsq + 2.0 * pc * colsum + n_hw * pc * pc
+        colsum = colsum + n_hw * pc
 
     n = float(h * w * cg)
     gsum = colsum.reshape(b, groups, cg).sum(axis=-1)      # [B, G]

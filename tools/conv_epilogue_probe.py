@@ -21,24 +21,36 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def timed(fn, *args, iters=30):
+def timed(fn, *args, iters=30, reps=4):
     out = fn(*args)
     jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    r = fn(*args)
-    # value-fetch barrier (axon block_until_ready is unreliable with queues)
-    leaves = jax.tree_util.tree_leaves(r)
-    float(leaves[0].ravel()[0])
-    return (time.perf_counter() - t0) / iters
+    best = float("inf")
+    for _ in range(reps):  # best-of-reps: tunnel dispatch-latency spikes
+        t0 = time.perf_counter()
+        r = fn(*args)
+        # value-fetch barrier (axon block_until_ready unreliable with queues)
+        leaves = jax.tree_util.tree_leaves(r)
+        float(leaves[0].ravel()[0])
+        best = min(best, time.perf_counter() - t0)
+    return best / iters
 
 
 def main():
+    import sys
+
     dt = jnp.bfloat16
     shapes = [
         (16, 64, 64, 192),
         (16, 32, 32, 384),
         (16, 16, 16, 576),
     ]
+    if "--vae" in sys.argv:
+        # SD VAE decoder geometry (the sd_bench lookahead decodes batch 4)
+        shapes = [
+            (4, 512, 512, 128),
+            (4, 256, 256, 256),
+            (4, 128, 128, 512),
+        ]
     rng = np.random.default_rng(0)
     iters = 30
 
