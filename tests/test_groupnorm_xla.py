@@ -1,6 +1,6 @@
 """Two-pass XLA GroupNorm (ops/groupnorm_xla.py) vs the reference jnp GN.
 
-The xla2 path is the TPU default (models/layers._GN_MODE): moments ride the
+The xla2 path is the EDM-family TPU default (models/layers._fused_gn): moments ride the
 producer's fused epilogue, normalize+affine+SiLU is one loop fusion. These
 tests pin its numerics (raw-moment statistics in fp32) against the
 mean/var-form reference for every call-site variant in models/layers.py,
