@@ -233,3 +233,28 @@ class TestBenchToolSmokes:
                     "3", "--S", "2", "--run")
         assert r.returncode == 0, r.stderr[-800:]
         assert "run_s=" in r.stdout
+
+
+class TestDriverEntryPoints:
+    """The two driver artifacts — bench.py and __graft_entry__.entry() —
+    must stay runnable: the round harness invokes them headlessly and a
+    breakage surfaces only after the round ends."""
+
+    @pytest.mark.slow
+    def test_bench_cpu_smoke(self):
+        r = run_cli("bench.py")
+        assert r.returncode == 0, r.stderr[-2000:]
+        line = r.stdout.strip().splitlines()[-1]
+        d = json.loads(line)
+        assert d["unit"] == "NFE/s" and d["value"] > 0
+        assert "vs_baseline" in d and "metric" in d
+
+    @pytest.mark.slow
+    def test_graft_entry_forward(self):
+        r = run_cli("-c",
+                    "import jax, __graft_entry__ as g;"
+                    "fn, args = g.entry();"
+                    "out = jax.jit(fn)(*args);"
+                    "print('OK', out.shape)")
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert "OK" in r.stdout
