@@ -154,3 +154,35 @@ def test_qkv_self_attention_compiled():
     np.testing.assert_allclose(np.asarray(got, np.float32),
                                np.asarray(want, np.float32),
                                atol=3e-2, rtol=3e-2)
+
+
+@requires_tpu
+def test_naive_search_golden_slice_on_tpu():
+    """The full search stack (load_network -> Heun sampler -> run_search ->
+    scorer) executed ON HARDWARE against the same checked-in golden slice
+    the CPU suite pins (tests/test_golden_slices.py) — end-to-end numerics,
+    not just per-kernel parity, must survive the TPU lowering."""
+    import jax.numpy as jnp
+    from diffusion_tts_tpu.backends.edm_entry import load_network
+    from diffusion_tts_tpu.samplers.edm import EDMHeunSampler
+    from diffusion_tts_tpu.scorers import BrightnessScorer
+    from diffusion_tts_tpu.search.api import run_search
+    from diffusion_tts_tpu.search.backend import EDMSearchBackend
+    from diffusion_tts_tpu.utils.config import SearchParams
+    from tests.test_golden_slices import EXPECTED_SLICE, EXPECTED_SCORES
+
+    net, variables = load_network("tiny", None)
+    labels = jnp.eye(10)[jnp.asarray([0, 1]) % 10]
+
+    def make_backend(v):
+        denoise = lambda x, s: net.apply(v, x, s, jnp.tile(labels, (x.shape[0] // 2, 1)))
+        sampler = EDMHeunSampler(num_steps=6, S_churn=40.0, S_min=0.05,
+                                 S_max=50.0, S_noise=1.003, denoise=denoise)
+        return EDMSearchBackend(sampler=sampler, scorer=BrightnessScorer())
+
+    z = jax.random.normal(jax.random.key(0), (2, 16, 16, 3))
+    r = run_search("naive", make_backend, z, jax.random.key(42), SearchParams(),
+                   backend_args=variables)
+    np.testing.assert_allclose(
+        np.asarray(r.images[0, 8, 4:12, 0]), EXPECTED_SLICE, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(r.score), EXPECTED_SCORES, atol=1e-3)
