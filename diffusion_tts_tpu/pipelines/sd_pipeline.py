@@ -28,7 +28,7 @@ from diffusion_tts_tpu.search.sd_backend import SDSearchBackend
 from diffusion_tts_tpu.utils.config import SearchParams
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(eq=False)  # identity hash: the program-cache anchor
 class StableDiffusionSearchPipeline:
     unet: UNet2DConditionModel
     unet_params: Any
@@ -255,10 +255,17 @@ class StableDiffusionSearchPipeline:
         )
         # dispatch="auto" resolves inside run_search: full-size SD iterated
         # searches (the 860M UNet) get chunked per-timestep-scan dispatches.
+        # The program cache anchors on the PIPELINE (this `factory` closure
+        # is rebuilt per call and would miss every time); the salt carries
+        # every config value the closure bakes into the trace. A scorer_cond
+        # (unhashable array baked as constants) disables cross-call sharing.
+        anchor = self if scorer_cond is None else None
+        salt = (num_inference_steps, eta, guidance_scale, b, h, w,
+                height, width, score_function)
         result: SearchResult = run_search(
             method, factory, z, key, params, backend_args=bargs,
             record_noises=record_noises, dispatch=dispatch,
-            chunk_steps=chunk_steps,
+            chunk_steps=chunk_steps, cache_anchor=anchor, cache_salt=salt,
         )
         return np.asarray(result.images), np.asarray(result.score)
 

@@ -48,9 +48,9 @@ def _cached_program(anchor, cache_key, build):
     cache — those are the tiny-test paths where retracing is cheap."""
     try:
         per_anchor = _PROGRAM_CACHE.setdefault(anchor, {})
-    except TypeError:
+        fn = per_anchor.get(cache_key)
+    except TypeError:  # unweakrefable anchor or unhashable key component
         return build()
-    fn = per_anchor.get(cache_key)
     if fn is None:
         fn = per_anchor[cache_key] = build()
     return fn
@@ -83,6 +83,8 @@ def run_search(
     jit: bool = True,
     dispatch: str = "whole",
     chunk_steps: int | None = None,
+    cache_anchor: Any = None,
+    cache_salt: tuple = (),
 ) -> SearchResult:
     """Run one search method end-to-end. z: [B, ...] unit-variance latents;
     the final image and score are always computed (edm/main.py:869-877).
@@ -108,7 +110,16 @@ def run_search(
     defaults to the largest divisor of num_steps <= 6 so a single compile
     covers every dispatch (a non-divisor chunk_steps pays one extra compile
     for the remainder chunk). "auto" picks chunked for the iterated methods
-    when the model weights passed via backend_args exceed ~100M parameters."""
+    when the model weights passed via backend_args exceed ~100M parameters.
+
+    cache_anchor/cache_salt: the jitted search programs are memoized on
+    ``backend``'s identity — a caller that rebuilds its factory closure per
+    invocation (the SD pipeline's __call__) would otherwise retrace the
+    whole program every call (tens of seconds at 860M scale). Pass a
+    long-lived ``cache_anchor`` (e.g. the pipeline instance) plus a
+    ``cache_salt`` tuple capturing every config value baked into the
+    factory closure (steps, eta, guidance scale, shapes, scorer identity)
+    so programs are shared across invocations."""
     params = params or SearchParams()
     if method not in METHODS:
         raise ValueError(f"unknown method {method!r}; expected one of {METHODS}")
@@ -117,6 +128,7 @@ def run_search(
             "dispatch must be 'whole', 'per_step', 'chunked', or 'auto', "
             f"got {dispatch!r}")
     factory_mode = backend_args is not _UNSET
+    anchor = backend if cache_anchor is None else cache_anchor
     if dispatch == "auto":
         n_params = (
             sum(int(getattr(l, "size", 0))
@@ -134,6 +146,7 @@ def run_search(
             backend_args=backend_args, factory_mode=factory_mode,
             record_noises=record_noises, noise=noise, jit=jit,
             chunk=1 if dispatch == "per_step" else chunk_steps,
+            anchor=anchor, salt=cache_salt,
         )
     if dispatch in ("per_step", "chunked") and method == "mcts":
         return _run_mcts_chunked(
@@ -142,6 +155,7 @@ def run_search(
             rollout_batch=mcts_rollout_batch, noise=noise, jit=jit,
             chunk=1 if dispatch == "per_step" else chunk_steps,
             fresh_expansion=mcts_fresh_expansion,
+            anchor=anchor, salt=cache_salt,
         )
 
     def go(z, key, bargs, inj):
@@ -170,9 +184,10 @@ def run_search(
 
     if jit:
         fn = _cached_program(
-            backend,
+            anchor,
             ("whole", method, _params_key(params), record_noises,
-             mcts_rollout_batch, mcts_fresh_expansion, factory_mode),
+             mcts_rollout_batch, mcts_fresh_expansion, factory_mode,
+             cache_salt),
             lambda: jax.jit(go),
         )
     else:
@@ -214,7 +229,7 @@ def _chunk_schedule(num_steps: int, chunk: int | None):
 
 def _run_zero_order_chunked(
     method, backend, z, key, params, *, backend_args, factory_mode,
-    record_noises, noise, jit, chunk,
+    record_noises, noise, jit, chunk, anchor=None, salt=(),
 ):
     """zero_order/eps_greedy with one device dispatch per chunk of timesteps
     (chunk=1 == the old per_step mode). The chunk start index is a traced
@@ -247,8 +262,9 @@ def _run_zero_order_chunked(
 
     # donate the carried latents: each dispatch rebinds x, so in-place
     # update keeps per-step memory flat (matches the whole-program scan)
+    anchor = backend if anchor is None else anchor
     base_key = ("zo_chunk", method, _params_key(params), record_noises,
-                factory_mode)
+                factory_mode, salt)
 
     def chunk_fn(length):
         def build():
@@ -257,10 +273,11 @@ def _run_zero_order_chunked(
 
         if not jit:
             return build()
-        return _cached_program(backend, base_key + (length,), build)
+        return _cached_program(anchor, base_key + (length,), build)
 
     finish_fn = (
-        _cached_program(backend, ("finish", factory_mode), lambda: jax.jit(finish))
+        _cached_program(anchor, ("finish", factory_mode, salt),
+                        lambda: jax.jit(finish))
         if jit else finish
     )
     bargs = backend_args if factory_mode else None
@@ -285,7 +302,7 @@ def _run_zero_order_chunked(
 
 def _run_mcts_chunked(
     backend, z, key, params, *, backend_args, factory_mode, rollout_batch,
-    noise, jit, chunk, fresh_expansion=False,
+    noise, jit, chunk, fresh_expansion=False, anchor=None, salt=(),
 ):
     """MCTS with one device dispatch per chunk of timesteps (chunk=1 == the
     old per_step mode) — the tree arena stays on device between dispatches;
@@ -325,8 +342,9 @@ def _run_mcts_chunked(
     # donate the tree arena (arg 1): the [B, MAXN, *feat] states buffer is
     # the dominant allocation; without donation every dispatch double-
     # buffers it (noise_tab, arg 2, is reused across steps — not donated)
+    anchor = backend if anchor is None else anchor
     base_key = ("mcts_chunk", _params_key(params), rollout_batch,
-                fresh_expansion, factory_mode)
+                fresh_expansion, factory_mode, salt)
 
     def chunk_fn(length):
         def build():
@@ -335,13 +353,13 @@ def _run_mcts_chunked(
 
         if not jit:
             return build()
-        return _cached_program(backend, base_key + (length,), build)
+        return _cached_program(anchor, base_key + (length,), build)
 
     if jit:
         init_fn = _cached_program(
-            backend, base_key + ("init",), lambda: jax.jit(init))
+            anchor, base_key + ("init",), lambda: jax.jit(init))
         finish_fn = _cached_program(
-            backend, base_key + ("finish",), lambda: jax.jit(finish))
+            anchor, base_key + ("finish",), lambda: jax.jit(finish))
     else:
         init_fn, finish_fn = init, finish
     bargs = backend_args if factory_mode else None

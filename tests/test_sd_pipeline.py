@@ -119,3 +119,30 @@ def test_sd_pipeline_params_dict_compat(tiny_pipe):
         key=jax.random.key(3),
     )
     assert np.isfinite(images).all()
+
+
+@pytest.mark.slow
+def test_sd_pipeline_program_cache_shared_across_calls(tiny_pipe):
+    """The jitted search programs must be reused across __call__ invocations
+    (cache_anchor=pipeline): rebuilding the factory closure per call used to
+    retrace the whole program every time — tens of seconds per call at SD
+    scale (PARITY round-3)."""
+    from diffusion_tts_tpu.search.api import _PROGRAM_CACHE
+
+    emb = jax.random.normal(jax.random.key(5), (1, 7, 32))
+    params = SearchParams(N=2, K=2)
+    scorer = BrightnessScorer()  # same instance: part of the cache salt
+    _PROGRAM_CACHE.pop(tiny_pipe, None)
+    _, s1 = tiny_pipe(prompt_embeds=emb, num_inference_steps=3,
+                      method="eps_greedy", score_function=scorer,
+                      params=params, key=jax.random.key(1))
+    progs = dict(_PROGRAM_CACHE.get(tiny_pipe, {}))
+    assert progs, "pipeline call did not populate the program cache"
+    _, s2 = tiny_pipe(prompt_embeds=emb, num_inference_steps=3,
+                      method="eps_greedy", score_function=scorer,
+                      params=params, key=jax.random.key(1))
+    after = dict(_PROGRAM_CACHE.get(tiny_pipe, {}))
+    assert set(after) == set(progs), "second identical call rebuilt programs"
+    for k in progs:
+        assert after[k] is progs[k], f"program {k} was rebuilt"
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2))

@@ -210,6 +210,14 @@ class TestBenchToolSmokes:
         assert out["unit"] == "NFE/s" and out["value"] > 0
 
     @pytest.mark.slow
+    def test_sd_e2e_bench_tiny(self):
+        r = run_cli("tools/sd_e2e_bench.py", "--tiny", "--steps", "2",
+                    "--K", "1", "--N", "2", "--repeat", "1")
+        assert r.returncode == 0, r.stderr[-2000:]
+        d = json.loads(r.stdout.strip().splitlines()[-1])
+        assert d["value"] > 0 and d["nfe"] == 2 * (1 + 1 * 2 * 2)
+
+    @pytest.mark.slow
     def test_reward_curve_quick(self, tmp_path):
         dest = str(tmp_path / "curve.json")
         r = run_cli("tools/reward_curve.py", "--arch", "tiny", "--quick",

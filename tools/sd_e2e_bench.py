@@ -1,0 +1,127 @@
+"""SD end-to-end search wall: the REAL pipeline at full SD-1.5 geometry.
+
+Completes the benchmark matrix (bench.py = EDM unit, reward_bench = EDM
+end-to-end, sd_bench = SD lookahead unit): this runs
+`StableDiffusionSearchPipeline.__call__` — prompt embeds -> DDIM schedule
+-> the actual search engine -> VAE decode -> scorer — at the real 860M
+UNet + VAE geometry with host-synthesized random weights (zero-egress),
+and reports steady-state walls over --repeat calls.
+
+NFE convention matches BASELINE.md's derived cost model for the SD side:
+steps x (1 + K*N*2) UNet forwards per sample for eps_greedy/zero_order
+(the reference runs the identical work as sequential Python with a host
+sync per candidate, pipeline_stable_diffusion.py:1371-1425).
+
+Usage: python tools/sd_e2e_bench.py [--steps 18] [--K 5] [--N 4]
+           [--method eps_greedy] [--repeat 3] [--batch 1]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=18)
+    ap.add_argument("--K", type=int, default=5)
+    ap.add_argument("--N", type=int, default=4)
+    ap.add_argument("--eps", type=float, default=0.4)
+    ap.add_argument("--method", default="eps_greedy")
+    ap.add_argument("--batch", type=int, default=1, help="prompt batch")
+    ap.add_argument("--repeat", type=int, default=3)
+    ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--json", default=None)
+    args = ap.parse_args()
+
+    from diffusion_tts_tpu.models.sd_unet import UNet2DConditionModel
+    from diffusion_tts_tpu.models.sd_vae import AutoencoderKL
+    from diffusion_tts_tpu.pipelines.sd_pipeline import StableDiffusionSearchPipeline
+    from diffusion_tts_tpu.scorers import BrightnessScorer
+    from diffusion_tts_tpu.utils.cache import enable_compilation_cache
+    from diffusion_tts_tpu.utils.config import SearchParams
+
+    enable_compilation_cache()
+    tiny = args.tiny or jax.default_backend() == "cpu"
+    rng = np.random.default_rng(0)
+
+    def host_random(tree):
+        return jax.tree_util.tree_map(
+            lambda s: jax.device_put(
+                (rng.standard_normal(s.shape, dtype=np.float32) * 0.02).astype(s.dtype)
+            ),
+            tree,
+        )
+
+    if tiny:
+        pipe = StableDiffusionSearchPipeline.tiny_random(seed=0)
+        ctx_dim = 32
+    else:
+        unet = UNet2DConditionModel(dtype=jnp.bfloat16)
+        vae = AutoencoderKL(dtype=jnp.bfloat16)
+        ctx_dim = 768
+        lat1 = jnp.zeros((2, 64, 64, 4), jnp.float32)
+        uparams = host_random(jax.eval_shape(lambda: unet.init(
+            {"params": jax.random.key(0)}, lat1, jnp.zeros((2,), jnp.float32),
+            jnp.zeros((2, 77, ctx_dim), jnp.float32))))
+        vparams = host_random(jax.eval_shape(lambda: vae.init(
+            {"params": jax.random.key(1)},
+            jnp.zeros((1, 512, 512, 3), jnp.float32), jax.random.key(0))))
+        pipe = StableDiffusionSearchPipeline(
+            unet=unet, unet_params=uparams, vae=vae, vae_params=vparams)
+
+    emb = jnp.asarray(
+        rng.standard_normal((args.batch, 77, ctx_dim)), jnp.float32)
+    sp = SearchParams(N=args.N, K=args.K, eps=args.eps)
+    # ONE scorer instance across calls: the scorer is part of the pipeline's
+    # program-cache salt, so a fresh instance per call would retrace the
+    # whole search program every time.
+    scorer = BrightnessScorer()
+
+    walls, score = [], None
+    for _ in range(max(args.repeat, 1)):
+        t0 = time.perf_counter()
+        images, scores = pipe(
+            prompt_embeds=emb, num_inference_steps=args.steps,
+            method=args.method, score_function=scorer,
+            params=sp, key=jax.random.key(42),
+        )
+        score = float(np.asarray(scores)[0])
+        walls.append(time.perf_counter() - t0)
+
+    steady = min(walls[1:]) if len(walls) > 1 else walls[0]
+    # BASELINE.md derived cost model (SD): steps x (1 + K*N*2) per sample
+    nfe = args.steps * (1 + args.K * args.N * 2) * args.batch
+    out = {
+        "metric": "sd15_e2e_search_NFE_per_s_per_chip",
+        "method": args.method,
+        "steps": args.steps, "K": args.K, "N": args.N, "batch": args.batch,
+        "nfe": nfe,
+        "walls_s": [round(w, 2) for w in walls],
+        "steady_wall_s": round(steady, 2),
+        "value": round(nfe / steady, 2),
+        "score": round(score, 5),
+        "device": jax.devices()[0].device_kind,
+        "weights": "RANDOM-INIT (zero-egress environment)",
+    }
+    print(json.dumps(out))
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(out, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
