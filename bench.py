@@ -134,7 +134,16 @@ def main():
     # The flag is a trace-time module constant; pin it for this one lowering.
     # The count is a property of (model, resolution, batch), so cache it on
     # disk — the extra remote compile is paid once ever, not per bench run.
-    flops_key = f"canonical_fwd_res{res}_ld{label_dim}_b{batch}"
+    # Key includes a fingerprint of the full model config: changing channels/
+    # blocks/attention at the same (res, label_dim, batch) must invalidate the
+    # cached FLOP count or the reported SOL fraction silently skews.
+    import hashlib
+
+    cfg_fp = hashlib.md5(
+        repr((net.model_type, sorted(net.model_kwargs.items()),
+              net.img_channels, str(net.dtype))).encode()
+    ).hexdigest()[:10]
+    flops_key = f"canonical_fwd_res{res}_ld{label_dim}_b{batch}_{cfg_fp}"
     flops_cache_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), ".jax_cache",
         "canonical_flops.json")

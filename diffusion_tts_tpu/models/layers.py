@@ -61,6 +61,12 @@ def _fused_gn(x, scale, bias, *, groups, eps, apply_silu, pre=None,
     if (x[0] if is_parts else x).ndim != 4 \
             or jax.default_backend() not in ("tpu", "axon"):
         return None
+    c = sum(p.shape[-1] for p in x) if is_parts else x.shape[-1]
+    if c % groups != 0:
+        # EDM modules use groups = min(32, c//4): channel counts that are
+        # not a multiple of the group count (e.g. c=144) must take the
+        # caller's unfused fallback — group_norm_silu_xla asserts c%g==0.
+        return None
     mode = _GN_MODE_ENV or prefer
     if mode == "xla2":
         from diffusion_tts_tpu.ops.groupnorm_xla import group_norm_silu_xla

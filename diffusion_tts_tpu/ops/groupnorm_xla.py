@@ -16,10 +16,16 @@ written as
   pass 1 (one loop fusion):     (x - mean) * rstd * scale + bias (+ SiLU)
 
 costs ~2 passes of x, and the elementwise chain AROUND it (conv bias,
-residual skip, pre-bias embedding) fuses into both passes for free. Same
-fp32-statistics semantics as the reference GroupNorm
+residual skip, pre-bias embedding) fuses into both passes for free.
+Statistics semantics match the reference GroupNorm
 (edm/training/networks.py:96-106) and the Pallas kernel (raw-moment
-variance, clamped >= 0); natively differentiable (no custom_vjp needed).
+variance, clamped >= 0) with ONE documented deviation: the per-element
+square is computed in the INPUT dtype before the fp32 accumulation (see
+the comment at the reduction below for why upcasting first regresses) —
+for bf16 activations each x^2 is rounded to bf16 (<=0.4% per element)
+while the sums, mean and rstd still accumulate and resolve in fp32. For
+fp32 inputs the statistics are exactly fp32. Natively differentiable (no
+custom_vjp needed).
 """
 from __future__ import annotations
 

@@ -28,6 +28,13 @@ from diffusion_tts_tpu.search.sd_backend import SDSearchBackend
 from diffusion_tts_tpu.utils.config import SearchParams
 
 
+def _zero_scorer(images, cond, t=None):
+    """Module-level no-op scorer: score_function=None calls must share ONE
+    program-cache entry (a per-call lambda in cache_salt would both miss the
+    cache every call and pin each 860M-scale executable alive)."""
+    return jnp.zeros(images.shape[0])
+
+
 @dataclasses.dataclass(eq=False)  # identity hash: the program-cache anchor
 class StableDiffusionSearchPipeline:
     unet: UNet2DConditionModel
@@ -230,7 +237,7 @@ class StableDiffusionSearchPipeline:
         params = params or SearchParams()
         key = key if key is not None else jax.random.key(0)
         if score_function is None:
-            score_function = lambda images, cond, t=None: jnp.zeros(images.shape[0])
+            score_function = _zero_scorer
 
         b = cond.shape[0]
         bargs = {"unet": self.unet_params, "vae": self.vae_params,
