@@ -94,8 +94,11 @@ def run_search(
     model parameters stay jit arguments instead of baked constants.
 
     noise: optional InjectedNoise overriding the keyed draws (the
-    reference's precomputed_noise dict, edm/main.py:54,723-796); beam has no
-    reference injection surface and ignores it.
+    reference's precomputed_noise dict, edm/main.py:54,723-796); beam
+    consumes the ``beam_noise`` field (the SD reference's per-beam
+    candidate draws, pipeline_stable_diffusion.py:1080) and, with
+    ``record_noises``, reports its per-step top-B candidate ids via
+    ``best_noises`` ([steps, B, M] flat n*M+m ids).
 
     dispatch: "whole" compiles the entire search into ONE device program
     (fastest — no per-step launch overhead). "per_step" compiles one
@@ -166,7 +169,8 @@ def run_search(
         elif method == "rejection":
             x, _ = rejection_search(be, z, key, params.N, noise=inj)
         elif method == "beam":
-            x = beam_search(be, z, key, params).x
+            r = beam_search(be, z, key, params, noise=inj, record=record_noises)
+            x, noises = r.x, r.picks
         elif method == "mcts":
             x = mcts_search(be, z, key, params, rollout_batch=mcts_rollout_batch,
                             noise=inj, fresh_expansion=mcts_fresh_expansion).x

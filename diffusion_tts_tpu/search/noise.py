@@ -57,6 +57,9 @@ class InjectedNoise(NamedTuple):
     explore01: jax.Array | None = None   # [steps, K, N]     U(0,1) explore Bernoulli
     step_noise: jax.Array | None = None  # naive [steps, B, *feat] / rejection [steps, N, B, *feat]
     mcts_table: jax.Array | None = None  # [steps, B, b, *feat]  per-depth expansion table
+    beam_noise: jax.Array | None = None  # [steps, N, M, B, *feat]  per-beam candidates
+    #   (M = params.B beams in score-rank order; the SD reference draws these
+    #    sequentially per beam, pipeline_stable_diffusion.py:1080)
 
 
 def record_zero_order_draws(

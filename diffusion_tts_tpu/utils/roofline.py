@@ -1,0 +1,135 @@
+"""Static MXU roofline analysis: matmul/conv FLOPs + tiling efficiency.
+
+Shared by tools/roofline.py (the CLI report) and the benches that report a
+speed-of-light fraction (bench.py, tools/sd_e2e_bench.py). Walks a jaxpr,
+extracts every convolution and dot_general with its shapes, and computes
+per-op FLOPs plus the MXU 128x128 tiling efficiency (lane / contraction /
+sublane padding). The FLOP totals define the SOL numerator ("useful matmul
+FLOPs executed"); the FLOP-weighted efficiency is the padding-limited
+ceiling no software can exceed at that geometry.
+
+Tracing (jax.make_jaxpr) is backend-independent and cheap (~seconds even
+for the 860M SD UNet) — no device compile involved.
+"""
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+
+import jax
+import numpy as np
+
+MXU = 128  # systolic array edge (lanes and contraction tile)
+SUBLANE = 8
+
+
+def tile_eff(dim: int, tile: int) -> float:
+    """Fraction of the padded tile grid that holds real data."""
+    return dim / (math.ceil(dim / tile) * tile) if dim else 1.0
+
+
+def walk_jaxpr(jaxpr, out):
+    """Accumulate {op-key: [flops, mxu_eff]} over all convs/dots in a jaxpr
+    (recursing into scan/cond/pjit bodies)."""
+    for eqn in jaxpr.eqns:
+        for v in eqn.params.values():
+            if hasattr(v, "jaxpr"):  # ClosedJaxpr
+                walk_jaxpr(v.jaxpr, out)
+            elif hasattr(v, "eqns"):  # Jaxpr
+                walk_jaxpr(v, out)
+            elif isinstance(v, (list, tuple)):
+                for u in v:
+                    if hasattr(u, "jaxpr"):
+                        walk_jaxpr(u.jaxpr, out)
+                    elif hasattr(u, "eqns"):
+                        walk_jaxpr(u, out)
+        if eqn.primitive.name == "conv_general_dilated":
+            rhs = eqn.invars[1].aval
+            outv = eqn.outvars[0].aval
+            dn = eqn.params["dimension_numbers"]
+            # feature_group_count>1 (depthwise) barely shows on the MXU; skip
+            if eqn.params.get("feature_group_count", 1) > 1:
+                continue
+            rhs_spec = dn.rhs_spec  # (out_f, in_f, *spatial)
+            out_spec = dn.out_spec
+            cin = rhs.shape[rhs_spec[1]]
+            cout = rhs.shape[rhs_spec[0]]
+            ksp = [rhs.shape[i] for i in rhs_spec[2:]]
+            b = outv.shape[out_spec[0]]
+            osp = [outv.shape[i] for i in out_spec[2:]]
+            m = b * int(np.prod(osp))
+            k = cin * int(np.prod(ksp))
+            flops = 2.0 * m * k * cout
+            eff = (tile_eff(cout, MXU) * tile_eff(k, MXU)
+                   * tile_eff(m, SUBLANE))
+            key = ("conv", tuple(ksp), cin, cout, tuple(osp), b)
+            out[key][0] += flops
+            out[key][1] = eff
+        elif eqn.primitive.name == "dot_general":
+            lhs, rhs = eqn.invars[0].aval, eqn.invars[1].aval
+            (lc, rc), (lb, rb) = eqn.params["dimension_numbers"]
+            m = int(np.prod([d for i, d in enumerate(lhs.shape)
+                             if i not in lc and i not in lb]))
+            n = int(np.prod([d for i, d in enumerate(rhs.shape)
+                             if i not in rc and i not in rb]))
+            k = int(np.prod([lhs.shape[i] for i in lc]))
+            batch = int(np.prod([lhs.shape[i] for i in lb])) if lb else 1
+            flops = 2.0 * batch * m * n * k
+            eff = tile_eff(n, MXU) * tile_eff(k, MXU) * tile_eff(m, SUBLANE)
+            key = ("dot", m, k, n, batch)
+            out[key][0] += flops
+            out[key][1] = eff
+
+
+def analyze_fn(fn, *args) -> dict:
+    """Trace fn(*args) and return {'total_flops', 'ceiling', 'ops'} where
+    ops is a flops-descending list of (key, flops, eff)."""
+    jaxpr = jax.make_jaxpr(fn)(*args)
+    ops = defaultdict(lambda: [0.0, 1.0])
+    walk_jaxpr(jaxpr.jaxpr, ops)
+    total = sum(f for f, _ in ops.values())
+    ideal = sum(f / max(e, 1e-9) for f, e in ops.values())
+    rows = sorted(((k, f, e) for k, (f, e) in ops.items()),
+                  key=lambda kfe: -kfe[1])
+    return {
+        "total_flops": total,
+        "ceiling": (total / ideal) if ideal else 1.0,
+        "ops": rows,
+    }
+
+
+def sd_unet_flops(unet, batch: int, ctx_len: int = 77) -> dict:
+    """Matmul roofline of one SD UNet forward at `batch` images (a CFG
+    forward for one sample is batch=2)."""
+    import jax.numpy as jnp
+
+    res = unet.sample_size
+    x = jnp.zeros((batch, res, res, unet.in_channels), jnp.float32)
+    t = jnp.zeros((batch,), jnp.float32)
+    ctx = jnp.zeros((batch, ctx_len, unet.cross_attention_dim), jnp.float32)
+    shapes = jax.eval_shape(
+        lambda: unet.init({"params": jax.random.key(0)}, x, t, ctx))
+    variables = jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+    return analyze_fn(lambda v: unet.apply(v, x, t, ctx), variables)
+
+
+def sd_vae_decode_flops(vae, batch: int, latent_res: int = 64) -> dict:
+    """Matmul roofline of one VAE decode at `batch` latents."""
+    import jax.numpy as jnp
+
+    z = jnp.zeros((batch, latent_res, latent_res, vae.latent_channels),
+                  jnp.float32)
+    shapes = jax.eval_shape(lambda: vae.init(
+        {"params": jax.random.key(0)},
+        jnp.zeros((1, latent_res * 8, latent_res * 8, vae.in_channels),
+                  jnp.float32),
+        jax.random.key(0)))
+    variables = jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+    return analyze_fn(
+        lambda v: vae.apply(v, z, method=type(vae).decode), variables)
+
+
+__all__ = ["MXU", "SUBLANE", "tile_eff", "walk_jaxpr", "analyze_fn",
+           "sd_unet_flops", "sd_vae_decode_flops"]
