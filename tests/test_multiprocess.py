@@ -21,6 +21,7 @@ import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WORKER = os.path.join(REPO, "tests", "_dist_worker.py")
+TRAIN_WORKER = os.path.join(REPO, "tests", "_dist_train_worker.py")
 
 
 def _free_port() -> int:
@@ -75,3 +76,47 @@ def test_two_process_distributed_init_sampler_and_stats_sync():
         # report0: only rank 0 contributed a value
         assert r["lr_num"] == 1
         np.testing.assert_allclose(r["lr_mean"], 0.125, rtol=1e-12)
+
+
+@pytest.mark.slow
+def test_two_process_sharded_train_step():
+    """A COMPILED collective across the process boundary (VERDICT r3 #6c):
+    2 processes x 4 virtual devices form one 8-device mesh; a single
+    data-parallel train step runs with the batch sharded across both
+    processes (the gradient psum rides the DCN-analogue path — the
+    counterpart of DDP's allreduce, training_loop.py:89) and its updated
+    parameters must equal the single-process result."""
+    port = _free_port()
+    procs = []
+    for rank in range(2):
+        env = dict(
+            os.environ,
+            JAX_PLATFORMS="cpu",
+            JAX_COORDINATOR_ADDRESS=f"localhost:{port}",
+            JAX_NUM_PROCESSES="2",
+            JAX_PROCESS_ID=str(rank),
+            PALLAS_AXON_POOL_IPS="",  # never touch the TPU grant
+            XLA_FLAGS="--xla_force_host_platform_device_count=4",
+        )
+        procs.append(subprocess.Popen(
+            [sys.executable, TRAIN_WORKER], env=env, cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        ))
+    results = {}
+    for p in procs:
+        out, err = p.communicate(timeout=300)
+        assert p.returncode == 0, f"worker failed:\nstdout:{out}\nstderr:{err}"
+        line = [ln for ln in out.splitlines() if ln.startswith("RESULT:")]
+        assert line, f"no RESULT line in worker output:\n{out}"
+        r = json.loads(line[0][len("RESULT:"):])
+        results[r["rank"]] = r
+
+    assert set(results) == {0, 1}
+    for r in results.values():
+        assert r["n_global_devices"] == 8
+        # the cross-process step reproduces the single-process math
+        np.testing.assert_allclose(r["loss_global"], r["loss_local"], rtol=1e-5)
+        assert r["max_param_diff"] < 2e-5, r
+    # both processes observed the identical replicated loss
+    np.testing.assert_allclose(
+        results[0]["loss_global"], results[1]["loss_global"], rtol=1e-12)
