@@ -155,6 +155,7 @@ class StableDiffusionSearchPipeline:
         self, bargs, scorer, scorer_cond=None,
         num_inference_steps: int = 100, eta: float = 1.0,
         guidance_scale: float | None = None, batch: int = 1,
+        candidate_sharding=None,
     ) -> SDSearchBackend:
         """bargs: {"unet", "vae", "uncond", "cond"[, "scorer"]} — the traced
         pytree so jit never bakes the model weights in as constants."""
@@ -195,7 +196,7 @@ class StableDiffusionSearchPipeline:
             sc = scorer
         return SDSearchBackend(
             sampler=sampler, vae_decode=vae_decode, scorer=sc,
-            scorer_cond=scorer_cond,
+            scorer_cond=scorer_cond, candidate_sharding=candidate_sharding,
         )
 
     # ------------------------------------------------------------------ call
@@ -218,6 +219,7 @@ class StableDiffusionSearchPipeline:
         record_noises: bool = False,
         dispatch: str = "auto",
         chunk_steps: int | None = None,
+        candidate_sharding=None,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Returns (images01 [B,H,W,3] in [0,1], scores [B]) — the search
         result counterpart of the reference's (output, max_score) tuple
@@ -252,6 +254,7 @@ class StableDiffusionSearchPipeline:
                 ba, score_function, scorer_cond=scorer_cond,
                 num_inference_steps=num_inference_steps, eta=eta,
                 guidance_scale=guidance_scale, batch=b,
+                candidate_sharding=candidate_sharding,
             )
 
         sample = self.unet.sample_size
@@ -268,7 +271,7 @@ class StableDiffusionSearchPipeline:
         # (unhashable array baked as constants) disables cross-call sharing.
         anchor = self if scorer_cond is None else None
         salt = (num_inference_steps, eta, guidance_scale, b, h, w,
-                height, width, score_function)
+                height, width, score_function, candidate_sharding)
         result: SearchResult = run_search(
             method, factory, z, key, params, backend_args=bargs,
             record_noises=record_noises, dispatch=dispatch,

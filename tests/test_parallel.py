@@ -72,6 +72,77 @@ def test_dp_tp_train_step_matches_dp():
         np.testing.assert_allclose(pa, pb, rtol=2e-4, atol=2e-5)
 
 
+def _real_backend(candidate_sharding=None, num_steps=3):
+    """EDM backend over a REAL tiny SongUNet (not the analytic denoiser) —
+    the sharded-equality theorem must hold through actual conv/GN/attention
+    collectives, not just elementwise math (VERDICT r3 #6a)."""
+    net = _net()
+    variables = net.init(
+        {"params": jax.random.key(7)},
+        jnp.zeros((2, 8, 8, 3)), jnp.ones((2,)), jnp.zeros((2, 4)),
+    )
+    labels = jnp.eye(4)[jnp.arange(2)]
+
+    def denoise(x, s):
+        reps = x.shape[0] // 2
+        return net.apply(variables, x, s, jnp.tile(labels, (reps, 1)))
+
+    sampler = EDMHeunSampler(denoise=denoise, num_steps=num_steps,
+                             sigma_max=10.0, S_churn=20.0, S_min=0.01,
+                             S_max=50.0)
+    return EDMSearchBackend(sampler=sampler, scorer=BrightnessScorer(),
+                            scorer_cond=None,
+                            candidate_sharding=candidate_sharding)
+
+
+@pytest.mark.parametrize("method,kw", [
+    ("beam", {}),
+    ("mcts", {}),
+    ("mcts", {"mcts_rollout_batch": 1, "mcts_fresh_expansion": True}),
+])
+def test_candidate_sharded_real_unet_matches_unsharded(method, kw):
+    """beam/mcts candidate-sharded == unsharded with a real tiny UNet.
+    Flattened expansion batches: beam N*M*B = 2*2*2 = 8, mcts N*B = 4*2 = 8
+    — one candidate per virtual device."""
+    mesh = make_mesh({"data": 8})
+    sharding = NamedSharding(mesh, P("data"))
+    z = jax.random.normal(jax.random.key(3), (2, 8, 8, 3))
+    params = SearchParams(N=2 if method == "beam" else 4, K=2, B=2, S=2)
+
+    r0 = run_search(method, _real_backend(None), z, jax.random.key(5),
+                    params, **kw)
+    r1 = run_search(method, _real_backend(sharding), z, jax.random.key(5),
+                    params, **kw)
+    np.testing.assert_allclose(np.asarray(r1.x), np.asarray(r0.x),
+                               rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(r1.score), np.asarray(r0.score),
+                               rtol=2e-5, atol=2e-6)
+
+
+def test_sd_candidate_sharded_search_matches_unsharded():
+    """SDSearchBackend.candidate_sharding (sd_backend.py:37-41) — previously
+    live-but-untested: the full tiny SD pipeline with the [N*B] expansion
+    sharded over the 8-device mesh must reproduce the unsharded images and
+    scores, driven through StableDiffusionSearchPipeline.__call__'s new
+    candidate_sharding passthrough."""
+    from diffusion_tts_tpu.pipelines.sd_pipeline import (
+        StableDiffusionSearchPipeline,
+    )
+
+    mesh = make_mesh({"data": 8})
+    pipe = StableDiffusionSearchPipeline.tiny_random(seed=0)
+    emb = jax.random.normal(jax.random.key(11), (1, 7, 32))
+    kw = dict(
+        prompt_embeds=emb, num_inference_steps=3, method="eps_greedy",
+        score_function=BrightnessScorer(),
+        params=SearchParams(N=8, K=2), key=jax.random.key(13),
+    )
+    img0, s0 = pipe(**kw)
+    img1, s1 = pipe(candidate_sharding=NamedSharding(mesh, P("data")), **kw)
+    np.testing.assert_allclose(img1, img0, rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(s1, s0, rtol=2e-5, atol=2e-6)
+
+
 def test_candidate_sharded_search_matches_unsharded():
     mesh = make_mesh({"data": 8})
 
