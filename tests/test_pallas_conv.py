@@ -1,0 +1,65 @@
+"""Pallas 3x3 SAME conv kernel (ops/pallas/conv3x3.py) vs the XLA conv.
+
+The kernel exists for the SD VAE decode — XLA runs the 512x512-spatial
+decoder convs at 0.18-0.25 of bf16 peak in isolation (tools/
+vae_conv_probe.py) and the scoring decode is 66% of SD device self-time
+(PARITY note 7e; the reference runs this decode per candidate in
+sequential Python, pipeline_stable_diffusion.py:1413-1414).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffusion_tts_tpu.ops.pallas.conv3x3 import conv3x3_same, _conv3_reference
+
+
+def _rand(shape, dtype, seed):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(rng.standard_normal(shape), dtype)
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+@pytest.mark.parametrize("shape", [
+    (2, 16, 16, 128, 128),   # square band tiling
+    (1, 8, 16, 256, 128),    # single band (top and bottom boundary at once)
+    (2, 32, 8, 128, 256),    # tall, K > C
+])
+def test_conv3x3_matches_xla(dtype, shape):
+    b, h, w, c, k = shape
+    x = _rand((b, h, w, c), dtype, 0)
+    ker = (_rand((3, 3, c, k), dtype, 1) * 0.05).astype(dtype)
+    got = conv3x3_same(x, ker, interpret=True)
+    want = _conv3_reference(x, ker)
+    tol = 1e-4 if dtype == jnp.float32 else 5e-2
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        atol=tol, rtol=tol)
+
+
+def test_conv3x3_fused_bias_residual():
+    """+bias +residual epilogue (the VAE resnet's skip add fused into the
+    conv write — one fewer HBM pass than a separate add)."""
+    x = _rand((2, 16, 16, 128), jnp.float32, 2)
+    ker = (_rand((3, 3, 128, 128), jnp.float32, 3) * 0.05)
+    bias = _rand((128,), jnp.float32, 4)
+    res = _rand((2, 16, 16, 128), jnp.float32, 5)
+    got = conv3x3_same(x, ker, bias, res, interpret=True)
+    want = _conv3_reference(x, ker, bias, res)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_conv3x3_grads_match_xla():
+    """custom_vjp backward == XLA conv VJP (training through the kernel)."""
+    x = _rand((1, 8, 8, 128), jnp.float32, 6)
+    ker = (_rand((3, 3, 128, 128), jnp.float32, 7) * 0.05)
+    bias = _rand((128,), jnp.float32, 8)
+
+    g1 = jax.grad(lambda a, b, c: conv3x3_same(a, b, c, interpret=True).sum(),
+                  argnums=(0, 1, 2))(x, ker, bias)
+    g2 = jax.grad(lambda a, b, c: _conv3_reference(a, b, c).sum(),
+                  argnums=(0, 1, 2))(x, ker, bias)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)

@@ -84,6 +84,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--dtype", default="bf16")
+    ap.add_argument("--shape", type=int, default=None,
+                    help="only run shapes[i] (tunnel compiles are slow; "
+                         "run one shape per invocation)")
+    ap.add_argument("--forms", default=None,
+                    help="comma-separated subset, e.g. direct,band4,preband4")
     args = ap.parse_args()
     dt = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
     rng = np.random.default_rng(0)
@@ -96,6 +101,9 @@ def main():
         (4, 256, 256, 256, 256),
         (4, 128, 128, 512, 512),
     ]
+    if args.shape is not None:
+        shapes = [shapes[args.shape]]
+    only = set(args.forms.split(",")) if args.forms else None
 
     print(f"{'shape':<28} {'form':<10} {'ms':>8} {'TF/s':>7} {'SOL':>6}")
     for (b, h, w, cin, cout) in shapes:
@@ -145,16 +153,25 @@ def main():
 
         forms["nchw"] = scan_over(nchw)
 
+        from diffusion_tts_tpu.ops.pallas.conv3x3 import conv3x3_same
+
+        forms["pallas"] = scan_over(lambda xx, kk: conv3x3_same(xx, kk))
+
         for name, fn in forms.items():
+            if only and name not in only:
+                continue
             sec = timed(fn, x, k, iters=iters)
             tfs = flops / sec / 1e12
             print(f"{str((b, h, w, cin, cout)):<28} {name:<10} "
-                  f"{sec * 1e3:>8.2f} {tfs:>7.1f} {tfs * 1e12 / PEAK_BF16:>6.3f}")
+                  f"{sec * 1e3:>8.2f} {tfs:>7.1f} {tfs * 1e12 / PEAK_BF16:>6.3f}",
+                  flush=True)
 
-        sec = timed(preband4, xb4, k, iters=iters)
-        tfs = flops / sec / 1e12
-        print(f"{str((b, h, w, cin, cout)):<28} {'preband4':<10} "
-              f"{sec * 1e3:>8.2f} {tfs:>7.1f} {tfs * 1e12 / PEAK_BF16:>6.3f}")
+        if not only or "preband4" in only:
+            sec = timed(preband4, xb4, k, iters=iters)
+            tfs = flops / sec / 1e12
+            print(f"{str((b, h, w, cin, cout)):<28} {'preband4':<10} "
+                  f"{sec * 1e3:>8.2f} {tfs:>7.1f} {tfs * 1e12 / PEAK_BF16:>6.3f}",
+                  flush=True)
 
         # numerics: banded == direct exactly (same math, same dtype)
         y0 = np.asarray(conv_same(x, k), np.float32)
