@@ -51,6 +51,26 @@ def _peak_flops() -> float:
 def main():
     import sys
 
+    if "--sd" in sys.argv:
+        # Secondary metric (VERDICT r3 #1c): the SD end-to-end search at the
+        # reference sd/main.py paper defaults (18 steps, K=20, N=4), with
+        # speed-of-light accounting. Same one-JSON-line contract
+        # (vs_baseline = SOL fraction).
+        import importlib.util
+
+        p = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "tools", "sd_e2e_bench.py")
+        spec = importlib.util.spec_from_file_location("sd_e2e_bench", p)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        if jax.default_backend() == "cpu":  # tiny smoke: compile-bound
+            sys.argv = [sys.argv[0], "--steps", "6", "--K", "2", "--N", "4",
+                        "--repeat", "2", "--tiny"]
+        else:
+            sys.argv = [sys.argv[0], "--steps", "18", "--K", "20", "--N", "4",
+                        "--repeat", "3"]
+        return mod.main()
+
     from diffusion_tts_tpu.scorers import BrightnessScorer
     from diffusion_tts_tpu.samplers.edm import EDMHeunSampler
     from diffusion_tts_tpu.search.backend import EDMSearchBackend

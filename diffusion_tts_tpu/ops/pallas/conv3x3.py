@@ -50,21 +50,115 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+_WPAD = 16  # row padding: keeps every xs row a whole number of sublane
+# tiles (16 for bf16, and a multiple of fp32's 8), so the [TH, WP, C] ->
+# [TH*WP, C] flatten is layout-free and the dx shifts can be static
+# two-piece slice copies instead of rotates (Mosaic has no bf16
+# dynamic_rotate). xpad occupies columns 0..W+1 (0 and W+1 are the SAME
+# zero padding); columns W+2..WP-1 stay zero and their outputs are
+# discarded by the final slice.
+
+
 def _conv3_kernel(body_ref, top_ref, bot_ref, w2_ref, *rest,
-                  th: int, w: int, c: int, kout: int, has_bias: bool,
-                  has_residual: bool):
+                  th: int, tc: int, w: int, c: int, kout: int,
+                  has_bias: bool, has_residual: bool):
     refs = list(rest)
     bias_ref = refs.pop(0) if has_bias else None
     res_ref = refs.pop(0) if has_residual else None
-    y_ref, xs, im = refs
+    y_ref, xs, im0, im1 = refs
     i = pl.program_id(1)
     n_i = pl.num_programs(1)
     first = (pl.program_id(0) == 0) & (i == 0)
+    wp = w + _WPAD
 
     @pl.when(first)
-    def _zero_pad_cols():
-        # W-border zero padding: written once, never overwritten (interior
-        # writes below cover [*, 1:W+1] only).
+    def _zero_scratch():
+        # zero padding columns + the im slots' shift tails: written once;
+        # every per-step write below covers interior slices only, so the
+        # zeros persist across the sequential grid.
+        xs[:] = jnp.zeros_like(xs)
+        im0[:] = jnp.zeros_like(im0)
+        im1[:] = jnp.zeros_like(im1)
+
+    xs[1:th + 1, 1:w + 1, :] = body_ref[0]
+    top = top_ref[0, 0].astype(xs.dtype)
+    bot = bot_ref[0, 0].astype(xs.dtype)
+    xs[0, 1:w + 1, :] = jnp.where(i > 0, top, jnp.zeros_like(top))
+    xs[th + 1, 1:w + 1, :] = jnp.where(i < n_i - 1, bot, jnp.zeros_like(bot))
+
+    mc = tc * wp
+    # The band is processed in th//tc chunks alternating between two im
+    # slots: chunk j+1's tap assembly (VPU) has no data dependency on chunk
+    # j's dot (MXU) — distinct slots avoid the write-after-read hazard —
+    # so Mosaic's scheduler is free to overlap them.
+    for j in range(th // tc):
+        im = im0 if j % 2 == 0 else im1
+        r0 = j * tc
+        for dy in range(3):
+            # leading-dim slice (free) + tile-aligned flatten (wp % 16 == 0)
+            base = xs[r0 + dy:r0 + dy + tc, :, :].reshape(mc, c)
+            for dx in range(3):
+                tap = 3 * dy + dx
+                if _PROBE_MODE == "nocopy" and tap:
+                    continue
+                if dx == 0 or _PROBE_MODE == "aligned":
+                    im[:, tap * c:(tap + 1) * c] = base
+                else:
+                    # y[r] = base[r + dx]; the dx tail rows keep stale
+                    # values — they only feed the discarded pad columns
+                    # (row r's last _WPAD-2 outputs), as does the
+                    # row-crossing wrap.
+                    im[0:mc - dx, tap * c:(tap + 1) * c] = base[dx:mc, :]
+
+        out = jnp.dot(im[:], w2_ref[:], preferred_element_type=jnp.float32)
+        out = out.reshape(tc, wp, kout)[:, 0:w, :]
+        if bias_ref is not None:
+            out = out + bias_ref[0].astype(jnp.float32)
+        if res_ref is not None:
+            out = out + res_ref[0, r0:r0 + tc].astype(jnp.float32)
+        y_ref[0, r0:r0 + tc] = out.astype(y_ref.dtype)
+
+
+_VMEM_BUDGET = int(os.environ.get("DTTS_CONV_VMEM_MB", "12")) * 2**20
+# Diagnostics only (WRONG numerics): "aligned" replaces the shifted tap
+# copies with aligned ones (isolates the sublane-shift penalty); "nocopy"
+# skips 8 of 9 tap writes (isolates copy volume vs MXU time).
+_PROBE_MODE = os.environ.get("DTTS_CONV_PROBE_MODE", "")
+# Kernel form: "stacked" (default — wider-N dot, dx resolved post-dot on
+# fp32) or "im2col" (one [mc, 9C] x [9C, K] dot). Read once at import.
+_FORM = os.environ.get("DTTS_CONV_FORM", "stacked")
+
+
+def _conv3_stacked_kernel(body_ref, top_ref, bot_ref, w2s_ref, *rest,
+                          th: int, tc: int, w: int, c: int, kout: int,
+                          has_bias: bool, has_residual: bool):
+    """Output-stacked tap dot: ONE [mc, 3C] x [3C, 3K] matmul per chunk.
+
+    The im2col form's dot is [mc, 9C] x [9C, K] — K output lanes, ONE MXU
+    tile column for the VAE's 128-out-channel shapes, which measures ~0.45
+    efficient under Mosaic. Here the lhs stacks only the THREE dy rows
+    (aligned copies; dy offsets are multiples of wp), the rhs interleaves
+    the dx taps as 3K output columns (3x wider N), and the dx alignment
+    moves to a post-dot combine on the fp32 partials:
+
+        Q[m, dx*K + k] = sum_dy xs_flat[m + dy*wp, :] @ W[dy, dx]
+        y_flat[m]      = Q[m, 0:K] + Q[m+1, K:2K] + Q[m+2, 2K:3K]
+
+    The +1/+2 row reach at the chunk tail lands only in the discarded
+    W-pad output columns (w >= wp-2), so chunks stay independent; the
+    fp32 rolls are 32-bit, which Mosaic's dynamic_rotate supports (the
+    bf16 input-side shifts it does not)."""
+    refs = list(rest)
+    bias_ref = refs.pop(0) if has_bias else None
+    res_ref = refs.pop(0) if has_residual else None
+    y_ref, xs, lbuf = refs
+    i = pl.program_id(1)
+    n_i = pl.num_programs(1)
+    first = (pl.program_id(0) == 0) & (i == 0)
+    wp = w + _WPAD
+
+    @pl.when(first)
+    def _zero_scratch():
         xs[:] = jnp.zeros_like(xs)
 
     xs[1:th + 1, 1:w + 1, :] = body_ref[0]
@@ -73,41 +167,76 @@ def _conv3_kernel(body_ref, top_ref, bot_ref, w2_ref, *rest,
     xs[0, 1:w + 1, :] = jnp.where(i > 0, top, jnp.zeros_like(top))
     xs[th + 1, 1:w + 1, :] = jnp.where(i < n_i - 1, bot, jnp.zeros_like(bot))
 
-    m = th * (w + 2)
-    for dy in range(3):
-        base = xs[dy:dy + th, :, :].reshape(m, c)
-        for dx in range(3):
-            tap = 3 * dy + dx
-            # roll by m - dx == roll by -dx: y[r] = base[r + dx]
-            shifted = base if dx == 0 else pltpu.roll(base, m - dx, axis=0)
-            im[:, tap * c:(tap + 1) * c] = shifted
+    mc = tc * wp
+    for j in range(th // tc):
+        r0 = j * tc
+        for dy in range(3):
+            lbuf[:, dy * c:(dy + 1) * c] = (
+                xs[r0 + dy:r0 + dy + tc, :, :].reshape(mc, c))
+        q = jnp.dot(lbuf[:], w2s_ref[:], preferred_element_type=jnp.float32)
+        a = q[:, 0:kout]
+        b = q[:, kout:2 * kout]
+        cc = q[:, 2 * kout:3 * kout]
+        # y[m] = a[m] + b[m+1] + cc[m+2]; the wrapped tail rows only feed
+        # the discarded pad columns.
+        out = a + pltpu.roll(b, mc - 1, axis=0) + pltpu.roll(cc, mc - 2, axis=0)
+        out = out.reshape(tc, wp, kout)[:, 0:w, :]
+        if bias_ref is not None:
+            out = out + bias_ref[0].astype(jnp.float32)
+        if res_ref is not None:
+            out = out + res_ref[0, r0:r0 + tc].astype(jnp.float32)
+        y_ref[0, r0:r0 + tc] = out.astype(y_ref.dtype)
 
-    out = jnp.dot(im[:], w2_ref[:], preferred_element_type=jnp.float32)
-    out = out.reshape(th, w + 2, kout)[:, 0:w, :]
-    if bias_ref is not None:
-        out = out + bias_ref[0].astype(jnp.float32)
-    if res_ref is not None:
-        out = out + res_ref[0].astype(jnp.float32)
-    y_ref[0] = out.astype(y_ref.dtype)
+
+def _pick_tiles(h: int, w: int, c: int, kout: int, itemsize: int,
+                budget: int = 0) -> tuple[int, int]:
+    """(th, tc): band height and dot-chunk height. tc sets the dot's M
+    (tc*(w+16)); th = tc * n_chunks amortizes the halo/assembly overhead and
+    gives the scheduler >=2 chunks to overlap."""
+    budget = budget or _VMEM_BUDGET
+    wp = w + _WPAD
+
+    def est(th, tc):
+        mc = tc * wp
+        return (2 * mc * 9 * c * itemsize            # two im slots
+                + (th + 2) * wp * c * itemsize       # xs
+                + mc * kout * 4                      # chunk dot out (fp32)
+                + 2 * th * w * c * itemsize          # body double-buffered
+                + 2 * th * w * kout * itemsize       # y double-buffered
+                + 9 * c * kout * itemsize)           # w2
+
+    for tc in (8, 4, 2, 1):
+        if h % tc:
+            continue
+        for chunks in (4, 2, 1):
+            th = tc * chunks
+            if h % th == 0 and est(th, tc) <= budget:
+                return th, tc
+    return 1, 1
 
 
-def _pick_th(h: int, w: int, c: int, kout: int, itemsize: int,
-             budget: int = 10 * 2**20) -> int:
-    def est(th):
-        m = th * (w + 2)
-        return (m * 9 * c * itemsize            # im
-                + (th + 2) * (w + 2) * c * itemsize  # xs
-                + m * kout * 4                   # dot output (fp32)
-                + 2 * th * w * c * itemsize      # body double-buffered
-                + 2 * th * w * kout * itemsize   # y double-buffered
-                + 9 * c * kout * itemsize)       # w2
+def _pick_tiles_stacked(h: int, w: int, c: int, kout: int, itemsize: int,
+                        budget: int = 0) -> tuple[int, int]:
+    budget = budget or _VMEM_BUDGET
+    wp = w + _WPAD
 
-    th = 1
-    for cand in (32, 16, 8, 4, 2):
-        if h % cand == 0 and est(cand) <= budget:
-            th = cand
-            break
-    return th
+    def est(th, tc):
+        mc = tc * wp
+        return (mc * 3 * c * itemsize                # lbuf
+                + mc * 3 * kout * 4                  # q (fp32)
+                + (th + 2) * wp * c * itemsize       # xs
+                + 2 * th * w * c * itemsize          # body double-buffered
+                + 2 * th * w * kout * itemsize       # y double-buffered
+                + 3 * c * 3 * kout * itemsize)       # w2s
+
+    for tc in (16, 8, 4, 2, 1):
+        if h % tc:
+            continue
+        for chunks in (4, 2, 1):
+            th = tc * chunks
+            if h % th == 0 and est(th, tc) <= budget:
+                return th, tc
+    return 1, 1
 
 
 def _conv3_reference(x, kernel, bias=None, residual=None):
@@ -124,13 +253,19 @@ def _conv3_reference(x, kernel, bias=None, residual=None):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("interpret",))
+    jax.jit, static_argnames=("interpret", "form"))
 def _conv3_fwd_only(x, kernel, bias=None, residual=None, *,
-                    interpret: bool = False):
+                    interpret: bool = False, form: str | None = None):
     b, h, w, c = x.shape
     kout = kernel.shape[-1]
-    th = _pick_th(h, w, c, kout, x.dtype.itemsize)
-    w2 = kernel.reshape(9 * c, kout).astype(x.dtype)
+    form = form or _FORM
+    if form == "stacked":
+        th, tc = _pick_tiles_stacked(h, w, c, kout, x.dtype.itemsize)
+        # [dy, c, dx, k] -> rows dy*C+c, cols dx*K+k
+        w2 = kernel.transpose(0, 2, 1, 3).reshape(3 * c, 3 * kout).astype(x.dtype)
+    else:
+        th, tc = _pick_tiles(h, w, c, kout, x.dtype.itemsize)
+        w2 = kernel.reshape(9 * c, kout).astype(x.dtype)
 
     in_specs = [
         pl.BlockSpec((1, th, w, c), lambda bi, i: (bi, i, 0, 0),
@@ -141,7 +276,7 @@ def _conv3_fwd_only(x, kernel, bias=None, residual=None, *,
         pl.BlockSpec((1, 1, w, c),
                      lambda bi, i: (bi, jnp.minimum(i * th + th, h - 1), 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((9 * c, kout), lambda bi, i: (0, 0),
+        pl.BlockSpec(w2.shape, lambda bi, i: (0, 0),
                      memory_space=pltpu.VMEM),
     ]
     args = [x, x, x, w2]
@@ -156,21 +291,37 @@ def _conv3_fwd_only(x, kernel, bias=None, residual=None, *,
         args.append(residual)
 
     flops = 2 * b * h * w * 9 * c * kout
-    return pl.pallas_call(
-        functools.partial(
-            _conv3_kernel, th=th, w=w, c=c, kout=kout,
+    if form == "stacked":
+        kern = functools.partial(
+            _conv3_stacked_kernel, th=th, tc=tc, w=w, c=c, kout=kout,
             has_bias=bias is not None, has_residual=residual is not None,
-        ),
+        )
+        scratch = [
+            pltpu.VMEM(((th + 2), w + _WPAD, c), x.dtype),     # xs
+            pltpu.VMEM((tc * (w + _WPAD), 3 * c), x.dtype),    # lbuf
+        ]
+    else:
+        kern = functools.partial(
+            _conv3_kernel, th=th, tc=tc, w=w, c=c, kout=kout,
+            has_bias=bias is not None, has_residual=residual is not None,
+        )
+        scratch = [
+            pltpu.VMEM(((th + 2), w + _WPAD, c), x.dtype),     # xs
+            pltpu.VMEM((tc * (w + _WPAD), 9 * c), x.dtype),    # im slot 0
+            pltpu.VMEM((tc * (w + _WPAD), 9 * c), x.dtype),    # im slot 1
+        ]
+    return pl.pallas_call(
+        kern,
         out_shape=jax.ShapeDtypeStruct((b, h, w, kout), x.dtype),
         grid=(b, h // th),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, th, w, kout), lambda bi, i: (bi, i, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM(((th + 2), w + 2, c), x.dtype),       # xs
-            pltpu.VMEM((th * (w + 2), 9 * c), x.dtype),       # im
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(1.5 * _VMEM_BUDGET) + 2**20,
+        ),
         cost_estimate=pl.CostEstimate(
             flops=flops,
             bytes_accessed=(b * h * w * (c + kout) * x.dtype.itemsize
@@ -185,17 +336,18 @@ def _conv3_fwd_only(x, kernel, bias=None, residual=None, *,
 # reference (numerically the same conv) so training through the kernel works
 # on TPU — the same treatment as ops/pallas/groupnorm.py.
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def _conv3_diff(x, kernel, bias, residual, interpret):
-    return _conv3_fwd_only(x, kernel, bias, residual, interpret=interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _conv3_diff(x, kernel, bias, residual, interpret, form):
+    return _conv3_fwd_only(x, kernel, bias, residual, interpret=interpret,
+                           form=form)
 
 
-def _conv3_diff_fwd(x, kernel, bias, residual, interpret):
-    out = _conv3_diff(x, kernel, bias, residual, interpret)
+def _conv3_diff_fwd(x, kernel, bias, residual, interpret, form):
+    out = _conv3_diff(x, kernel, bias, residual, interpret, form)
     return out, (x, kernel, bias, residual)
 
 
-def _conv3_diff_bwd(interpret, res, g):
+def _conv3_diff_bwd(interpret, form, res, g):
     x, kernel, bias, residual = res
     diff_args = [x, kernel]
     if bias is not None:
@@ -222,11 +374,12 @@ _conv3_diff.defvjp(_conv3_diff_fwd, _conv3_diff_bwd)
 
 
 def conv3x3_same(x, kernel, bias=None, residual=None, *,
-                 interpret: bool = False):
+                 interpret: bool = False, form: str | None = None):
     """3x3 stride-1 SAME conv, NHWC x [B,H,W,C] * HWIO kernel [3,3,C,K],
     optional fused +bias [K] and +residual [B,H,W,K] epilogue. fp32
-    accumulation regardless of input dtype."""
-    return _conv3_diff(x, kernel, bias, residual, interpret)
+    accumulation regardless of input dtype. form: "stacked" (default) or
+    "im2col" — see the kernel docstrings; DTTS_CONV_FORM sets the default."""
+    return _conv3_diff(x, kernel, bias, residual, interpret, form)
 
 
 _NO_PALLAS_CONV = bool(os.environ.get("DTTS_NO_PALLAS_CONV"))

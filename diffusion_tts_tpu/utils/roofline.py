@@ -100,35 +100,36 @@ def analyze_fn(fn, *args) -> dict:
 
 def sd_unet_flops(unet, batch: int, ctx_len: int = 77) -> dict:
     """Matmul roofline of one SD UNet forward at `batch` images (a CFG
-    forward for one sample is batch=2)."""
+    forward for one sample is batch=2). Traces abstractly — no device
+    allocation, safe to call from a process holding a TPU grant."""
     import jax.numpy as jnp
 
     res = unet.sample_size
-    x = jnp.zeros((batch, res, res, unet.in_channels), jnp.float32)
-    t = jnp.zeros((batch,), jnp.float32)
-    ctx = jnp.zeros((batch, ctx_len, unet.cross_attention_dim), jnp.float32)
+    x = jax.ShapeDtypeStruct((batch, res, res, unet.in_channels), jnp.float32)
+    t = jax.ShapeDtypeStruct((batch,), jnp.float32)
+    ctx = jax.ShapeDtypeStruct((batch, ctx_len, unet.cross_attention_dim),
+                               jnp.float32)
     shapes = jax.eval_shape(
-        lambda: unet.init({"params": jax.random.key(0)}, x, t, ctx))
-    variables = jax.tree_util.tree_map(
-        lambda s: jnp.zeros(s.shape, s.dtype), shapes)
-    return analyze_fn(lambda v: unet.apply(v, x, t, ctx), variables)
+        lambda xx, tt, cc: unet.init({"params": jax.random.key(0)}, xx, tt, cc),
+        x, t, ctx)
+    return analyze_fn(lambda v, xx, tt, cc: unet.apply(v, xx, tt, cc),
+                      shapes, x, t, ctx)
 
 
 def sd_vae_decode_flops(vae, batch: int, latent_res: int = 64) -> dict:
-    """Matmul roofline of one VAE decode at `batch` latents."""
+    """Matmul roofline of one VAE decode at `batch` latents (abstract
+    trace; see sd_unet_flops)."""
     import jax.numpy as jnp
 
-    z = jnp.zeros((batch, latent_res, latent_res, vae.latent_channels),
-                  jnp.float32)
-    shapes = jax.eval_shape(lambda: vae.init(
-        {"params": jax.random.key(0)},
-        jnp.zeros((1, latent_res * 8, latent_res * 8, vae.in_channels),
-                  jnp.float32),
-        jax.random.key(0)))
-    variables = jax.tree_util.tree_map(
-        lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+    z = jax.ShapeDtypeStruct(
+        (batch, latent_res, latent_res, vae.latent_channels), jnp.float32)
+    x0 = jax.ShapeDtypeStruct(
+        (1, latent_res * 8, latent_res * 8, vae.in_channels), jnp.float32)
+    shapes = jax.eval_shape(
+        lambda xx: vae.init({"params": jax.random.key(0)}, xx,
+                            jax.random.key(0)), x0)
     return analyze_fn(
-        lambda v: vae.apply(v, z, method=type(vae).decode), variables)
+        lambda v, zz: vae.apply(v, zz, method=type(vae).decode), shapes, z)
 
 
 __all__ = ["MXU", "SUBLANE", "tile_eff", "walk_jaxpr", "analyze_fn",

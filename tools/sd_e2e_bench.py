@@ -34,6 +34,46 @@ import jax.numpy as jnp
 import numpy as np
 
 
+PEAK_BF16_FLOPS = {
+    "v5 lite": 197e12, "v5e": 197e12, "v5p": 459e12, "v4": 275e12,
+    "v6e": 918e12, "cpu": 1e12,
+}
+
+
+def _peak_flops() -> float:
+    kind = getattr(jax.devices()[0], "device_kind", "cpu").lower()
+    for k, v in PEAK_BF16_FLOPS.items():
+        if k in kind:
+            return v
+    return 197e12
+
+
+def _search_flops(unet, vae, *, steps, K, N, b) -> dict:
+    """Matmul FLOPs of one eps_greedy/zero_order SD search __call__ (the
+    SOL numerator): per step ONE base CFG UNet at batch 2b, then K
+    iterations of (CFG lookahead at 2Nb + scoring decode at Nb), plus the
+    final decode (pipeline_stable_diffusion.py:1341-1435 semantics; our
+    commit step reuses the winner's x_next). Also returns the FLOP-weighted
+    MXU tiling ceiling of that mix — the padding-limited bound."""
+    from diffusion_tts_tpu.utils.roofline import (
+        sd_unet_flops,
+        sd_vae_decode_flops,
+    )
+
+    u = sd_unet_flops(unet, 2)
+    d = sd_vae_decode_flops(vae, 4)
+    u1, d1 = u["total_flops"] / 2, d["total_flops"] / 4
+    unet_imgs = steps * (2 * b + K * 2 * N * b)
+    dec_imgs = steps * K * N * b + b
+    total = unet_imgs * u1 + dec_imgs * d1
+    ideal = unet_imgs * u1 / u["ceiling"] + dec_imgs * d1 / d["ceiling"]
+    return {
+        "total_flops": total,
+        "decode_flop_share": dec_imgs * d1 / total,
+        "mxu_tiling_ceiling": total / ideal,
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=18)
@@ -107,6 +147,7 @@ def main():
     nfe = args.steps * (1 + args.K * args.N * 2) * args.batch
     out = {
         "metric": "sd15_e2e_search_NFE_per_s_per_chip",
+        "unit": "NFE/s",
         "method": args.method,
         "steps": args.steps, "K": args.K, "N": args.N, "batch": args.batch,
         "nfe": nfe,
@@ -117,6 +158,17 @@ def main():
         "device": jax.devices()[0].device_kind,
         "weights": "RANDOM-INIT (zero-egress environment)",
     }
+    if not tiny and args.method in ("eps_greedy", "zero_order"):
+        # SD speed-of-light accounting (VERDICT r3 #1a): matmul FLOPs the
+        # search actually executes / wall / chip peak, plus the
+        # padding-limited ceiling of the same mix.
+        fl = _search_flops(pipe.unet, pipe.vae, steps=args.steps, K=args.K,
+                           N=args.N, b=args.batch)
+        out["sol"] = round(fl["total_flops"] / steady / _peak_flops(), 4)
+        out["vs_baseline"] = out["sol"]  # bench.py --sd driver-line contract
+        out["mxu_tiling_ceiling"] = round(fl["mxu_tiling_ceiling"], 4)
+        out["decode_flop_share"] = round(fl["decode_flop_share"], 4)
+        out["total_matmul_flops"] = fl["total_flops"]
     print(json.dumps(out))
     if args.json:
         with open(args.json, "w") as f:
