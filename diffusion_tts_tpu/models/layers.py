@@ -32,6 +32,10 @@ from diffusion_tts_tpu.ops.attention import fused_qkv_self_attention
 
 # import-time read, same rule as the other kernel kill-switches
 _NO_FUSED_UPSAMPLE = os.environ.get("DTTS_NO_FUSED_UPSAMPLE", "") not in ("", "0")
+# Experimental (default OFF): route EDM plain 3x3 convs through the stacked
+# Pallas conv where eligible. Kept for in-model A/Bs on EDM geometry —
+# isolated conv probes are dispatch-floor-pinned at these spatial sizes.
+_EDM_PALLAS_CONV = os.environ.get("DTTS_EDM_PALLAS_CONV", "") not in ("", "0")
 
 # GN execution strategy on TPU: "xla2" = two-pass XLA producer-fusion GN
 # (ops/groupnorm_xla.py — moments ride the producer's epilogue and the
@@ -259,7 +263,22 @@ class EDMConv(nn.Module):
                 fk = _resample_kernel(self.resample_filter, in_ch, up=False)
                 x = _depthwise_conv(x, fk, 2, f_pad)
             if w is not None:
-                x = conv(x, w, w_pad)
+                if _EDM_PALLAS_CONV and self.kernel == 3:
+                    # Experimental in-model A/B of the stacked Pallas conv
+                    # on EDM geometry (VERDICT r3 #2/#7: isolated probes are
+                    # floor-pinned at <=64x64 spatial, so only an e2e A/B
+                    # is informative). Default off: XLA wins these shapes.
+                    from diffusion_tts_tpu.ops.pallas.conv3x3 import (
+                        conv3x3_same,
+                        pallas_conv3_eligible,
+                    )
+
+                    if pallas_conv3_eligible(x, w):
+                        x = conv3x3_same(x, w)
+                    else:
+                        x = conv(x, w, w_pad)
+                else:
+                    x = conv(x, w, w_pad)
         if self.kernel and self.use_bias:
             fan_in = in_ch * self.kernel * self.kernel
             fan_out = self.features * self.kernel * self.kernel

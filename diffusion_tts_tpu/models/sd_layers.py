@@ -91,7 +91,46 @@ class GroupNorm(nn.Module):
         return out.astype(orig)
 
 
+class Conv3x3(nn.Module):
+    """3x3 SAME stride-1 conv with nn.Conv-compatible params (kernel HWIO
+    + bias [K]) so checkpoints are interchangeable, routed to the Pallas
+    stacked-form conv (ops/pallas/conv3x3.py) on TPU when eligible — XLA's
+    own lowering runs the VAE's large-spatial shapes at 0.18-0.25 of bf16
+    peak vs the kernel's 0.34+ (tools/vae_conv_probe.py, PARITY round-4).
+    Optional residual input fuses the ResnetBlock2D skip add into the conv
+    epilogue, saving that tensor's separate HBM read+write pass."""
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, residual=None):
+        cin = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, cin, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        x, kernel, bias, residual = nn.dtypes.promote_dtype(
+            x, kernel, bias, residual, dtype=self.dtype)
+
+        from diffusion_tts_tpu.ops.pallas.conv3x3 import (
+            conv3x3_same,
+            pallas_conv3_eligible,
+        )
+
+        if pallas_conv3_eligible(x, kernel):
+            return conv3x3_same(x, kernel, bias, residual)
+        out = jax.lax.conv_general_dilated(
+            x, kernel, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        out = out + bias
+        if residual is not None:
+            out = out + residual
+        return out
+
+
 def conv3(features, dtype, name, stride=1):
+    if stride == 1:
+        return Conv3x3(features, dtype, name=name)
     return nn.Conv(features, (3, 3), strides=(stride, stride),
                    padding=[(1, 1), (1, 1)], dtype=dtype, name=name)
 
@@ -123,11 +162,13 @@ class ResnetBlock2D(nn.Module):
                       prefer=self.gn_prefer, name="norm2")(h)
         if self.dropout > 0.0:
             h = nn.Dropout(self.dropout, deterministic=not train)(h)
-        h = conv3(self.out_channels, self.dtype, "conv2")(h)
         if in_ch != self.out_channels:
             x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
                         name="conv_shortcut")(x)
-        return x + h
+        # skip add fused into conv2's epilogue on the Pallas route (one HBM
+        # pass saved per resnet); the fallback adds it after the conv —
+        # identical math to the previous `x + h`.
+        return Conv3x3(self.out_channels, self.dtype, name="conv2")(h, residual=x)
 
 
 class CrossAttention(nn.Module):

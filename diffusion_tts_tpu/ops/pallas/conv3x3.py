@@ -385,10 +385,17 @@ def conv3x3_same(x, kernel, bias=None, residual=None, *,
 _NO_PALLAS_CONV = bool(os.environ.get("DTTS_NO_PALLAS_CONV"))
 
 
+_MIN_SPATIAL = int(os.environ.get("DTTS_CONV_MIN_SPATIAL", "96"))
+
+
 def pallas_conv3_eligible(x, kernel) -> bool:
-    """TPU only; lane-aligned channels; H tileable. Read-once env
-    kill-switch DTTS_NO_PALLAS_CONV (same trace-time rule as the GN/attn
-    kernels: set before first use)."""
+    """TPU only; lane-aligned channels; W sublane-tile aligned (the
+    kernel's [TH, W+16, C] -> [TH*(W+16), C] flatten needs whole 16-row
+    tiles); H tileable; spatial >= DTTS_CONV_MIN_SPATIAL (default 96: the
+    kernel wins where XLA's spatial-chunked lowering collapses — 512/256/
+    128-px VAE shapes — while small-feature-map UNet levels stay on XLA,
+    which is already near its roof there). Read-once env kill-switch
+    DTTS_NO_PALLAS_CONV (same trace-time rule as the GN/attn kernels)."""
     if _NO_PALLAS_CONV:
         return False
     if jax.default_backend() not in ("tpu", "axon"):
@@ -399,7 +406,7 @@ def pallas_conv3_eligible(x, kernel) -> bool:
     kout = kernel.shape[-1]
     if c % 128 or kout % 128:
         return False
-    return h % 2 == 0 and h >= 8 and w >= 8
+    return h % 2 == 0 and h >= _MIN_SPATIAL and w % 16 == 0 and w >= _MIN_SPATIAL
 
 
 __all__ = ["conv3x3_same", "pallas_conv3_eligible"]

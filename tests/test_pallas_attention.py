@@ -36,7 +36,8 @@ def test_flash_attention_matches_xla(shape, dtype):
 
 @pytest.mark.parametrize("dtype,t,heads,d", [
     (jnp.float32, 512, 2, 64),   # multi-tile q (tq=256 -> 2 q-tiles)
-    (jnp.bfloat16, 64, 3, 64),   # odd head count, single tile
+    (jnp.bfloat16, 64, 3, 64),   # odd heads: pair kernel + leftover head
+    (jnp.bfloat16, 512, 4, 64),  # pure pair kernel, multi-tile q
 ])
 def test_qkv_self_attention_matches_reference(t, heads, d, dtype):
     """The fused all-heads kernel on the native [B, T, 3C] projection

@@ -138,22 +138,53 @@ def test_gn_xla2_routed_compiled():
 
 
 @requires_tpu
-def test_qkv_self_attention_compiled():
+@pytest.mark.parametrize("dtype,heads", [
+    (jnp.bfloat16, 6),   # head-PAIR bf16 kernel (even heads)
+    (jnp.bfloat16, 3),   # pair kernel + odd leftover head
+    (jnp.float32, 6),    # single-head fp32 kernel (parity mode)
+])
+def test_qkv_self_attention_compiled(dtype, heads):
     """The fused all-heads qkv attention kernel COMPILED on hardware vs the
-    jnp mirror, at the EDM res-32 hot shape."""
+    jnp mirror, at the EDM res-32 hot shape — covers the bf16 head-pair
+    formulation, its odd-head fallback, and the fp32 single-head kernel."""
     from diffusion_tts_tpu.ops.pallas.attention import (
         qkv_self_attention,
         _qkv_attention_reference,
     )
 
-    heads, d = 6, 64
+    d = 64
     qkv = jax.random.normal(jax.random.key(4), (4, 1024, 3 * heads * d),
-                            jnp.bfloat16)
+                            dtype)
     got = qkv_self_attention(qkv, heads)
     want = _qkv_attention_reference(qkv, heads)
     np.testing.assert_allclose(np.asarray(got, np.float32),
                                np.asarray(want, np.float32),
                                atol=3e-2, rtol=3e-2)
+
+
+@requires_tpu
+@pytest.mark.parametrize("dtype", [jnp.bfloat16, jnp.float32])
+def test_conv3x3_stacked_compiled(dtype):
+    """The stacked-form Pallas conv COMPILED on hardware (the pltpu.roll
+    post-dot combine only exists in the Mosaic lowering) vs the XLA conv,
+    with the fused bias+residual epilogue, at a real VAE decoder shape."""
+    from diffusion_tts_tpu.ops.pallas.conv3x3 import (
+        conv3x3_same,
+        _conv3_reference,
+    )
+
+    b, h, w, c, k = 2, 128, 128, 256, 128
+    key = jax.random.key(7)
+    x = jax.random.normal(key, (b, h, w, c), dtype)
+    ker = jax.random.normal(jax.random.fold_in(key, 1), (3, 3, c, k), dtype) * 0.05
+    bias = jax.random.normal(jax.random.fold_in(key, 2), (k,), dtype)
+    res = jax.random.normal(jax.random.fold_in(key, 3), (b, h, w, k), dtype)
+    got = conv3x3_same(x, ker, bias, res)
+    want = _conv3_reference(x, ker, bias, res)
+    tol = 1e-4 if dtype == jnp.float32 else 5e-2
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               atol=tol, rtol=tol)
 
 
 @requires_tpu
