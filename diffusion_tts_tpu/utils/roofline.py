@@ -28,9 +28,22 @@ def tile_eff(dim: int, tile: int) -> float:
     return dim / (math.ceil(dim / tile) * tile) if dim else 1.0
 
 
+def _io_bytes(eqn) -> float:
+    """Mandatory HBM traffic of a matmul: operands read + output written
+    once each (fusion can reduce elementwise traffic but cannot remove a
+    matmul's own operand/result movement). Uses the aval dtypes."""
+    total = 0.0
+    for v in list(eqn.invars) + list(eqn.outvars):
+        aval = v.aval
+        if hasattr(aval, "shape"):
+            total += float(np.prod(aval.shape, dtype=np.float64)) * np.dtype(
+                aval.dtype).itemsize
+    return total
+
+
 def walk_jaxpr(jaxpr, out):
-    """Accumulate {op-key: [flops, mxu_eff]} over all convs/dots in a jaxpr
-    (recursing into scan/cond/pjit bodies)."""
+    """Accumulate {op-key: [flops, mxu_eff, bytes]} over all convs/dots in
+    a jaxpr (recursing into scan/cond/pjit bodies)."""
     for eqn in jaxpr.eqns:
         for v in eqn.params.values():
             if hasattr(v, "jaxpr"):  # ClosedJaxpr
@@ -65,6 +78,7 @@ def walk_jaxpr(jaxpr, out):
             key = ("conv", tuple(ksp), cin, cout, tuple(osp), b)
             out[key][0] += flops
             out[key][1] = eff
+            out[key][2] += _io_bytes(eqn)
         elif eqn.primitive.name == "dot_general":
             lhs, rhs = eqn.invars[0].aval, eqn.invars[1].aval
             (lc, rc), (lb, rb) = eqn.params["dimension_numbers"]
@@ -79,23 +93,42 @@ def walk_jaxpr(jaxpr, out):
             key = ("dot", m, k, n, batch)
             out[key][0] += flops
             out[key][1] = eff
+            out[key][2] += _io_bytes(eqn)
 
 
 def analyze_fn(fn, *args) -> dict:
-    """Trace fn(*args) and return {'total_flops', 'ceiling', 'ops'} where
-    ops is a flops-descending list of (key, flops, eff)."""
+    """Trace fn(*args) and return {'total_flops', 'total_bytes', 'ceiling',
+    'ops'} where ops is a flops-descending list of (key, flops, eff, bytes).
+    'ceiling' is the tiling-only bound (no memory model)."""
     jaxpr = jax.make_jaxpr(fn)(*args)
-    ops = defaultdict(lambda: [0.0, 1.0])
+    ops = defaultdict(lambda: [0.0, 1.0, 0.0])
     walk_jaxpr(jaxpr.jaxpr, ops)
-    total = sum(f for f, _ in ops.values())
-    ideal = sum(f / max(e, 1e-9) for f, e in ops.values())
-    rows = sorted(((k, f, e) for k, (f, e) in ops.items()),
-                  key=lambda kfe: -kfe[1])
+    total = sum(f for f, _, _ in ops.values())
+    ideal = sum(f / max(e, 1e-9) for f, e, _ in ops.values())
+    rows = sorted(((k, f, e, by) for k, (f, e, by) in ops.items()),
+                  key=lambda r: -r[1])
     return {
         "total_flops": total,
+        "total_bytes": sum(by for _, _, by in ops.values()),
         "ceiling": (total / ideal) if ideal else 1.0,
         "ops": rows,
     }
+
+
+def roofline_seconds(result: dict, peak_flops: float, hbm_bw: float) -> float:
+    """Bandwidth-aware wall-seconds MODEL for the traced matmul mix: per op
+    max(padded-tile MXU time, one-HBM-trip operand/result traffic time).
+    The honest speed-of-light reference for memory-heavy graphs (the SD VAE
+    decoder at 512x512): non-matmul passes are assumed perfectly fused
+    (optimistic), while every matmul operand is charged one HBM trip
+    (pessimistic where XLA fuses a producer into the conv so the input
+    never materializes — the EDM flagship measures slightly above this
+    model for exactly that reason). Use as a reference point, not a strict
+    bound."""
+    t = 0.0
+    for _, flops, eff, by in result["ops"]:
+        t += max(flops / max(eff, 1e-9) / peak_flops, by / hbm_bw)
+    return t
 
 
 def sd_unet_flops(unet, batch: int, ctx_len: int = 77) -> dict:
@@ -133,4 +166,4 @@ def sd_vae_decode_flops(vae, batch: int, latent_res: int = 64) -> dict:
 
 
 __all__ = ["MXU", "SUBLANE", "tile_eff", "walk_jaxpr", "analyze_fn",
-           "sd_unet_flops", "sd_vae_decode_flops"]
+           "roofline_seconds", "sd_unet_flops", "sd_vae_decode_flops"]

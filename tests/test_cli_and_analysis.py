@@ -104,3 +104,33 @@ def test_dmap_analysis(tmp_path):
                for w in written)
     for w in written:
         assert os.path.getsize(w) > 0
+
+
+def test_roofline_matmul_accounting():
+    """analyze_fn extracts flops / tiling eff / HBM bytes for a known dot,
+    and roofline_seconds takes the max of compute and traffic time."""
+    import jax
+    import jax.numpy as jnp
+
+    from diffusion_tts_tpu.utils.roofline import analyze_fn, roofline_seconds
+
+    m, k, n = 256, 128, 512
+    a = jnp.zeros((m, k), jnp.bfloat16)
+    b = jnp.zeros((k, n), jnp.bfloat16)
+    rep = analyze_fn(lambda x, y: x @ y, a, b)
+    assert rep["total_flops"] == 2.0 * m * k * n
+    assert rep["ceiling"] == 1.0  # all dims tile-aligned
+    assert rep["total_bytes"] == 2 * (m * k + k * n + m * n)
+    # compute-bound regime: huge bandwidth -> time = flops/peak
+    peak = 1e12
+    t = roofline_seconds(rep, peak, hbm_bw=1e18)
+    assert abs(t - rep["total_flops"] / peak) < 1e-12
+    # bandwidth-bound regime: tiny bandwidth -> time = bytes/bw
+    bw = 1e6
+    t = roofline_seconds(rep, 1e30, hbm_bw=bw)
+    assert abs(t - rep["total_bytes"] / bw) < 1e-12
+    # padding: a 40-deep contraction (SD attention head_dim) fills 40/128
+    q = jnp.zeros((1024, 40), jnp.float32)
+    rep2 = analyze_fn(lambda x: x @ x.T, q)
+    (_, _, eff, _), = rep2["ops"]
+    assert abs(eff - 40 / 128) < 1e-9

@@ -81,16 +81,21 @@ def main(argv=None):
         rep = _edm_report(args.arch, args.batch)
 
     total, ceiling, rows = rep["total_flops"], rep["ceiling"], rep["ops"]
+    from diffusion_tts_tpu.utils.roofline import roofline_seconds
+
+    peak, bw = 197e12, 819e9  # v5e bf16 / HBM
+    bw_ceiling = total / roofline_seconds(rep, peak, bw) / peak
     print(f"arch={args.arch} batch={args.batch} "
           f"total_matmul_flops={total:.3e} per forward")
     print(f"{'op':<58} {'flops%':>7} {'mxu_eff':>8}")
-    for key, f, e in rows[:18]:
+    for key, f, e, _by in rows[:18]:
         print(f"{str(key):<58} {100 * f / total:>6.1f}% {e:>8.3f}")
     print(f"\nFLOP-weighted MXU tiling ceiling: {ceiling:.3f}")
-    print("(fraction of bf16 peak attainable if every matmul ran at its "
-          "padding-limited rate with zero other overhead; bandwidth-bound "
-          "ops — GN, attention softmax, elementwise — push the real ceiling "
-          "lower)")
+    print(f"bandwidth-aware ceiling (v5e 197TF/819GBs): {bw_ceiling:.3f}")
+    print("(tiling: every matmul at its padding-limited rate, infinite HBM;"
+          " bandwidth-aware: per matmul max(MXU time, mandatory operand/"
+          "result traffic) — non-matmul passes (unfused GN, softmax, "
+          "elementwise) push the real ceiling lower)")
     if args.json:
         import json
 
@@ -98,8 +103,10 @@ def main(argv=None):
             json.dump({
                 "arch": args.arch, "batch": args.batch,
                 "total_matmul_flops": total, "mxu_tiling_ceiling": ceiling,
-                "ops": [{"key": str(k), "flops_frac": f / total, "mxu_eff": e}
-                        for k, f, e in rows],
+                "hbm_aware_ceiling_v5e": bw_ceiling,
+                "ops": [{"key": str(k), "flops_frac": f / total, "mxu_eff": e,
+                         "hbm_bytes": by}
+                        for k, f, e, by in rows],
             }, fjson, indent=2)
         print(f"wrote {args.json}")
 

@@ -38,14 +38,22 @@ PEAK_BF16_FLOPS = {
     "v5 lite": 197e12, "v5e": 197e12, "v5p": 459e12, "v4": 275e12,
     "v6e": 918e12, "cpu": 1e12,
 }
+PEAK_HBM_BW = {
+    "v5 lite": 819e9, "v5e": 819e9, "v5p": 2765e9, "v4": 1228e9,
+    "v6e": 1640e9, "cpu": 100e9,
+}
+
+
+def _chip(table, default) -> float:
+    kind = getattr(jax.devices()[0], "device_kind", "cpu").lower()
+    for k, v in table.items():
+        if k in kind:
+            return v
+    return default
 
 
 def _peak_flops() -> float:
-    kind = getattr(jax.devices()[0], "device_kind", "cpu").lower()
-    for k, v in PEAK_BF16_FLOPS.items():
-        if k in kind:
-            return v
-    return 197e12
+    return _chip(PEAK_BF16_FLOPS, 197e12)
 
 
 def _search_flops(unet, vae, *, steps, K, N, b) -> dict:
@@ -53,24 +61,35 @@ def _search_flops(unet, vae, *, steps, K, N, b) -> dict:
     SOL numerator): per step ONE base CFG UNet at batch 2b, then K
     iterations of (CFG lookahead at 2Nb + scoring decode at Nb), plus the
     final decode (pipeline_stable_diffusion.py:1341-1435 semantics; our
-    commit step reuses the winner's x_next). Also returns the FLOP-weighted
-    MXU tiling ceiling of that mix — the padding-limited bound."""
+    commit step reuses the winner's x_next). Returns two ceilings on the
+    achievable SOL fraction: the FLOP-weighted MXU tiling bound (padding
+    only — pretends HBM is infinite) and the bandwidth-aware bound
+    (per matmul max(padded MXU time, mandatory operand/result HBM traffic)
+    — the honest speed-of-light for the bandwidth-heavy 512x512 decoder).
+    Each geometry is traced at its TRUE batch so weight streaming
+    amortizes per call, not per image."""
     from diffusion_tts_tpu.utils.roofline import (
+        roofline_seconds,
         sd_unet_flops,
         sd_vae_decode_flops,
     )
 
-    u = sd_unet_flops(unet, 2)
-    d = sd_vae_decode_flops(vae, 4)
-    u1, d1 = u["total_flops"] / 2, d["total_flops"] / 4
-    unet_imgs = steps * (2 * b + K * 2 * N * b)
-    dec_imgs = steps * K * N * b + b
-    total = unet_imgs * u1 + dec_imgs * d1
-    ideal = unet_imgs * u1 / u["ceiling"] + dec_imgs * d1 / d["ceiling"]
+    peak, bw = _peak_flops(), _chip(PEAK_HBM_BW, 819e9)
+    u_base = sd_unet_flops(unet, 2 * b)
+    u_look = sd_unet_flops(unet, 2 * N * b)
+    d_score = sd_vae_decode_flops(vae, N * b)
+    d_final = sd_vae_decode_flops(vae, b)
+    calls = [(u_base, steps), (u_look, steps * K), (d_score, steps * K),
+             (d_final, 1)]
+    total = sum(r["total_flops"] * n for r, n in calls)
+    ideal_tile = sum(r["total_flops"] / r["ceiling"] * n for r, n in calls)
+    ideal_bw_s = sum(roofline_seconds(r, peak, bw) * n for r, n in calls)
+    dec = d_score["total_flops"] * steps * K + d_final["total_flops"]
     return {
         "total_flops": total,
-        "decode_flop_share": dec_imgs * d1 / total,
-        "mxu_tiling_ceiling": total / ideal,
+        "decode_flop_share": dec / total,
+        "mxu_tiling_ceiling": total / ideal_tile,
+        "hbm_aware_ceiling": total / ideal_bw_s / peak,
     }
 
 
@@ -85,6 +104,9 @@ def main():
     ap.add_argument("--repeat", type=int, default=3)
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--json", default=None)
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="capture a jax.profiler trace of the LAST repeat "
+                         "(summarize with tools/trace_summary.py)")
     args = ap.parse_args()
 
     from diffusion_tts_tpu.models.sd_unet import UNet2DConditionModel
@@ -132,7 +154,11 @@ def main():
     scorer = BrightnessScorer()
 
     walls, score = [], None
-    for _ in range(max(args.repeat, 1)):
+    reps = max(args.repeat, 1)
+    for rep in range(reps):
+        profiling = args.profile and rep == reps - 1
+        if profiling:
+            jax.profiler.start_trace(args.profile)
         t0 = time.perf_counter()
         images, scores = pipe(
             prompt_embeds=emb, num_inference_steps=args.steps,
@@ -141,6 +167,9 @@ def main():
         )
         score = float(np.asarray(scores)[0])
         walls.append(time.perf_counter() - t0)
+        if profiling:
+            jax.profiler.stop_trace()
+            print(f"  profiler trace written to {args.profile}/", file=sys.stderr)
 
     steady = min(walls[1:]) if len(walls) > 1 else walls[0]
     # BASELINE.md derived cost model (SD): steps x (1 + K*N*2) per sample
@@ -167,6 +196,8 @@ def main():
         out["sol"] = round(fl["total_flops"] / steady / _peak_flops(), 4)
         out["vs_baseline"] = out["sol"]  # bench.py --sd driver-line contract
         out["mxu_tiling_ceiling"] = round(fl["mxu_tiling_ceiling"], 4)
+        out["hbm_aware_ceiling"] = round(fl["hbm_aware_ceiling"], 4)
+        out["sol_of_hbm_ceiling"] = round(out["sol"] / fl["hbm_aware_ceiling"], 4)
         out["decode_flop_share"] = round(fl["decode_flop_share"], 4)
         out["total_matmul_flops"] = fl["total_flops"]
     print(json.dumps(out))
