@@ -24,6 +24,9 @@ Dtype = Any
 # the same rule as DTTS_NO_PALLAS_GN): set DTTS_NO_FUSED_UPSAMPLE=1 before
 # process start to A/B the explicit nearest-2x + conv path.
 _NO_FUSED_UPSAMPLE = os.environ.get("DTTS_NO_FUSED_UPSAMPLE", "") not in ("", "0")
+# GN folded into the Pallas conv's input load on eligible shapes (read-once
+# kill-switch, same trace-time rule as the other kernels).
+_GN_IN_CONV = os.environ.get("DTTS_NO_GN_IN_CONV", "") in ("", "0")
 
 
 def sd_timestep_embedding(
@@ -62,11 +65,26 @@ class GroupNorm(nn.Module):
     prefer: str = "pallas"
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, *,
+                 return_scale_shift: bool = False) -> jax.Array:
         c = x.shape[-1]
         g = min(self.num_groups, c)
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
+
+        if return_scale_shift:
+            # Fold the group statistics into per-(batch, channel) affine
+            # vectors for a consumer that applies normalize+SiLU itself
+            # (the Pallas conv's GN prologue, ops/pallas/conv3x3.py): one
+            # READ of x (the moments-only Pallas kernel on TPU) instead of
+            # the standalone kernel's read + read + write.
+            # (x-m)*rstd*gamma + beta == x*(rstd*gamma) + (beta - m*rstd*gamma).
+            from diffusion_tts_tpu.ops.pallas.groupnorm import group_norm_stats
+
+            mean_c, rstd_c = group_norm_stats(x, groups=g, eps=self.eps)
+            sc = rstd_c * scale.astype(jnp.float32)[None, :]
+            sh = bias.astype(jnp.float32)[None, :] - mean_c * sc
+            return sc, sh
 
         from diffusion_tts_tpu.models.layers import _fused_gn
 
@@ -104,7 +122,7 @@ class Conv3x3(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, residual=None):
+    def __call__(self, x, residual=None, gn=None):
         cin = x.shape[-1]
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (3, 3, cin, self.features))
@@ -118,7 +136,16 @@ class Conv3x3(nn.Module):
         )
 
         if pallas_conv3_eligible(x, kernel):
+            if gn is not None:
+                return conv3x3_same(x, kernel, bias, residual,
+                                    gn_scale=gn[0], gn_shift=gn[1])
             return conv3x3_same(x, kernel, bias, residual)
+        if gn is not None:
+            # non-Pallas shapes: same math, XLA fuses the normalize+SiLU
+            # into the conv input as a producer fusion
+            xn = x.astype(jnp.float32) * gn[0][:, None, None, :] \
+                + gn[1][:, None, None, :]
+            x = (xn * jax.nn.sigmoid(xn)).astype(x.dtype)
         out = jax.lax.conv_general_dilated(
             x, kernel, (1, 1), [(1, 1), (1, 1)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
@@ -149,26 +176,52 @@ class ResnetBlock2D(nn.Module):
 
     @nn.compact
     def __call__(self, x, temb=None, *, train=False):
+        from diffusion_tts_tpu.ops.pallas.conv3x3 import (
+            pallas_conv3_shape_eligible,
+        )
+
         in_ch = x.shape[-1]
-        h = GroupNorm(self.groups, self.eps, apply_silu=True,
-                      prefer=self.gn_prefer, name="norm1")(x)
-        h = conv3(self.out_channels, self.dtype, "conv1")(h)
+        _, hh, ww, _ = x.shape
+        # GN-in-conv: on Pallas-conv-eligible shapes the GroupNorm+SiLU is
+        # folded into the conv's input load (2 HBM trips of the full
+        # tensor saved per norm site) — the norm module only computes the
+        # per-(batch, channel) fp32 scale/shift (one read). Same params,
+        # same math; DTTS_NO_GN_IN_CONV reverts to the standalone kernels.
+        norm1 = GroupNorm(self.groups, self.eps, apply_silu=True,
+                          prefer=self.gn_prefer, name="norm1")
+        conv1 = conv3(self.out_channels, self.dtype, "conv1")
+        if (_GN_IN_CONV and in_ch % self.groups == 0
+                and pallas_conv3_shape_eligible(
+                    hh, ww, in_ch, self.out_channels)):
+            h = conv1(x, gn=norm1(x, return_scale_shift=True))
+        else:
+            h = conv1(norm1(x))
         if self.use_temb and temb is not None:
             t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(
                 nn.silu(temb)
             )
             h = h + t[:, None, None, :].astype(h.dtype)
-        h = GroupNorm(self.groups, self.eps, apply_silu=True,
-                      prefer=self.gn_prefer, name="norm2")(h)
-        if self.dropout > 0.0:
-            h = nn.Dropout(self.dropout, deterministic=not train)(h)
+        norm2 = GroupNorm(self.groups, self.eps, apply_silu=True,
+                          prefer=self.gn_prefer, name="norm2")
+        fuse2 = (_GN_IN_CONV and self.out_channels % self.groups == 0
+                 and not (self.dropout > 0.0 and train)
+                 and pallas_conv3_shape_eligible(
+                     hh, ww, self.out_channels, self.out_channels))
+        if not fuse2:
+            h = norm2(h)
+            if self.dropout > 0.0:
+                h = nn.Dropout(self.dropout, deterministic=not train)(h)
         if in_ch != self.out_channels:
             x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
                         name="conv_shortcut")(x)
         # skip add fused into conv2's epilogue on the Pallas route (one HBM
         # pass saved per resnet); the fallback adds it after the conv —
         # identical math to the previous `x + h`.
-        return Conv3x3(self.out_channels, self.dtype, name="conv2")(h, residual=x)
+        conv2 = Conv3x3(self.out_channels, self.dtype, name="conv2")
+        if fuse2:
+            return conv2(h, residual=x,
+                         gn=norm2(h, return_scale_shift=True))
+        return conv2(h, residual=x)
 
 
 class CrossAttention(nn.Module):

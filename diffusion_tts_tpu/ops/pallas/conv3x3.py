@@ -59,10 +59,22 @@ _WPAD = 16  # row padding: keeps every xs row a whole number of sublane
 # discarded by the final slice.
 
 
+def _gn_prologue(rows, sc_ref, sh_ref, out_dtype):
+    """Normalize+SiLU loaded input rows in VMEM: silu(x*scale + shift) with
+    per-(batch, channel) fp32 scale/shift (GroupNorm folded by the caller:
+    scale = rstd*gamma, shift = beta - mean*scale). fp32 math, cast back to
+    the activation dtype — bit-identical to the standalone fused GN kernel's
+    output feeding the conv."""
+    x = rows.astype(jnp.float32) * sc_ref[0] + sh_ref[0]
+    return (x * jax.nn.sigmoid(x)).astype(out_dtype)
+
+
 def _conv3_kernel(body_ref, top_ref, bot_ref, w2_ref, *rest,
                   th: int, tc: int, w: int, c: int, kout: int,
-                  has_bias: bool, has_residual: bool):
+                  has_bias: bool, has_residual: bool, has_gn: bool):
     refs = list(rest)
+    gnsc_ref = refs.pop(0) if has_gn else None
+    gnsh_ref = refs.pop(0) if has_gn else None
     bias_ref = refs.pop(0) if has_bias else None
     res_ref = refs.pop(0) if has_residual else None
     y_ref, xs, im0, im1 = refs
@@ -80,9 +92,16 @@ def _conv3_kernel(body_ref, top_ref, bot_ref, w2_ref, *rest,
         im0[:] = jnp.zeros_like(im0)
         im1[:] = jnp.zeros_like(im1)
 
-    xs[1:th + 1, 1:w + 1, :] = body_ref[0]
-    top = top_ref[0, 0].astype(xs.dtype)
-    bot = bot_ref[0, 0].astype(xs.dtype)
+    body = body_ref[0]
+    top = top_ref[0, 0]
+    bot = bot_ref[0, 0]
+    if has_gn:
+        body = _gn_prologue(body, gnsc_ref, gnsh_ref, xs.dtype)
+        top = _gn_prologue(top, gnsc_ref, gnsh_ref, xs.dtype)
+        bot = _gn_prologue(bot, gnsc_ref, gnsh_ref, xs.dtype)
+    xs[1:th + 1, 1:w + 1, :] = body
+    top = top.astype(xs.dtype)
+    bot = bot.astype(xs.dtype)
     xs[0, 1:w + 1, :] = jnp.where(i > 0, top, jnp.zeros_like(top))
     xs[th + 1, 1:w + 1, :] = jnp.where(i < n_i - 1, bot, jnp.zeros_like(bot))
 
@@ -131,7 +150,7 @@ _FORM = os.environ.get("DTTS_CONV_FORM", "stacked")
 
 def _conv3_stacked_kernel(body_ref, top_ref, bot_ref, w2s_ref, *rest,
                           th: int, tc: int, w: int, c: int, kout: int,
-                          has_bias: bool, has_residual: bool):
+                          has_bias: bool, has_residual: bool, has_gn: bool):
     """Output-stacked tap dot: ONE [mc, 3C] x [3C, 3K] matmul per chunk.
 
     The im2col form's dot is [mc, 9C] x [9C, K] — K output lanes, ONE MXU
@@ -149,9 +168,11 @@ def _conv3_stacked_kernel(body_ref, top_ref, bot_ref, w2s_ref, *rest,
     fp32 rolls are 32-bit, which Mosaic's dynamic_rotate supports (the
     bf16 input-side shifts it does not)."""
     refs = list(rest)
+    gnsc_ref = refs.pop(0) if has_gn else None
+    gnsh_ref = refs.pop(0) if has_gn else None
     bias_ref = refs.pop(0) if has_bias else None
     res_ref = refs.pop(0) if has_residual else None
-    y_ref, xs, lbuf = refs
+    y_ref, xs, lbuf0, lbuf1 = refs
     i = pl.program_id(1)
     n_i = pl.num_programs(1)
     first = (pl.program_id(0) == 0) & (i == 0)
@@ -161,14 +182,29 @@ def _conv3_stacked_kernel(body_ref, top_ref, bot_ref, w2s_ref, *rest,
     def _zero_scratch():
         xs[:] = jnp.zeros_like(xs)
 
-    xs[1:th + 1, 1:w + 1, :] = body_ref[0]
-    top = top_ref[0, 0].astype(xs.dtype)
-    bot = bot_ref[0, 0].astype(xs.dtype)
+    body = body_ref[0]
+    top = top_ref[0, 0]
+    bot = bot_ref[0, 0]
+    if has_gn:
+        # GroupNorm+SiLU applied as rows land in VMEM: saves the standalone
+        # GN kernel's output write + this kernel's re-read (2 HBM trips of
+        # the full tensor per fused GN). The SAME zero padding stays zero —
+        # it pads the conv's input space, i.e. AFTER normalization.
+        body = _gn_prologue(body, gnsc_ref, gnsh_ref, xs.dtype)
+        top = _gn_prologue(top, gnsc_ref, gnsh_ref, xs.dtype)
+        bot = _gn_prologue(bot, gnsc_ref, gnsh_ref, xs.dtype)
+    xs[1:th + 1, 1:w + 1, :] = body
+    top = top.astype(xs.dtype)
+    bot = bot.astype(xs.dtype)
     xs[0, 1:w + 1, :] = jnp.where(i > 0, top, jnp.zeros_like(top))
     xs[th + 1, 1:w + 1, :] = jnp.where(i < n_i - 1, bot, jnp.zeros_like(bot))
 
     mc = tc * wp
     for j in range(th // tc):
+        # alternate lbuf slots so chunk j+1's tap assembly (VPU) has no
+        # write-after-read hazard on chunk j's dot (MXU) — the same
+        # two-slot overlap the im2col form uses
+        lbuf = lbuf0 if j % 2 == 0 else lbuf1
         r0 = j * tc
         for dy in range(3):
             lbuf[:, dy * c:(dy + 1) * c] = (
@@ -222,7 +258,7 @@ def _pick_tiles_stacked(h: int, w: int, c: int, kout: int, itemsize: int,
 
     def est(th, tc):
         mc = tc * wp
-        return (mc * 3 * c * itemsize                # lbuf
+        return (2 * mc * 3 * c * itemsize            # two lbuf slots
                 + mc * 3 * kout * 4                  # q (fp32)
                 + (th + 2) * wp * c * itemsize       # xs
                 + 2 * th * w * c * itemsize          # body double-buffered
@@ -239,7 +275,12 @@ def _pick_tiles_stacked(h: int, w: int, c: int, kout: int, itemsize: int,
     return 1, 1
 
 
-def _conv3_reference(x, kernel, bias=None, residual=None):
+def _conv3_reference(x, kernel, bias=None, residual=None,
+                     gn_scale=None, gn_shift=None):
+    if gn_scale is not None:
+        xn = x.astype(jnp.float32) * gn_scale[:, None, None, :] \
+            + gn_shift[:, None, None, :]
+        x = (xn * jax.nn.sigmoid(xn)).astype(x.dtype)
     out = jax.lax.conv_general_dilated(
         x, kernel, (1, 1), [(1, 1), (1, 1)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -254,7 +295,8 @@ def _conv3_reference(x, kernel, bias=None, residual=None):
 
 @functools.partial(
     jax.jit, static_argnames=("interpret", "form"))
-def _conv3_fwd_only(x, kernel, bias=None, residual=None, *,
+def _conv3_fwd_only(x, kernel, bias=None, residual=None,
+                    gn_scale=None, gn_shift=None, *,
                     interpret: bool = False, form: str | None = None):
     b, h, w, c = x.shape
     kout = kernel.shape[-1]
@@ -280,6 +322,13 @@ def _conv3_fwd_only(x, kernel, bias=None, residual=None, *,
                      memory_space=pltpu.VMEM),
     ]
     args = [x, x, x, w2]
+    if gn_scale is not None:
+        # [B, 1, C] so the (1, C) trailing block is tileable (a bare [B, C]
+        # block of (1, C) fails the second-minor-divisible-by-8 rule)
+        for v in (gn_scale, gn_shift):
+            in_specs.append(pl.BlockSpec((1, 1, c), lambda bi, i: (bi, 0, 0),
+                                         memory_space=pltpu.VMEM))
+            args.append(v.astype(jnp.float32).reshape(b, 1, c))
     if bias is not None:
         in_specs.append(pl.BlockSpec((1, kout), lambda bi, i: (0, 0),
                                      memory_space=pltpu.VMEM))
@@ -295,15 +344,18 @@ def _conv3_fwd_only(x, kernel, bias=None, residual=None, *,
         kern = functools.partial(
             _conv3_stacked_kernel, th=th, tc=tc, w=w, c=c, kout=kout,
             has_bias=bias is not None, has_residual=residual is not None,
+            has_gn=gn_scale is not None,
         )
         scratch = [
             pltpu.VMEM(((th + 2), w + _WPAD, c), x.dtype),     # xs
-            pltpu.VMEM((tc * (w + _WPAD), 3 * c), x.dtype),    # lbuf
+            pltpu.VMEM((tc * (w + _WPAD), 3 * c), x.dtype),    # lbuf slot 0
+            pltpu.VMEM((tc * (w + _WPAD), 3 * c), x.dtype),    # lbuf slot 1
         ]
     else:
         kern = functools.partial(
             _conv3_kernel, th=th, tc=tc, w=w, c=c, kout=kout,
             has_bias=bias is not None, has_residual=residual is not None,
+            has_gn=gn_scale is not None,
         )
         scratch = [
             pltpu.VMEM(((th + 2), w + _WPAD, c), x.dtype),     # xs
@@ -336,56 +388,81 @@ def _conv3_fwd_only(x, kernel, bias=None, residual=None, *,
 # reference (numerically the same conv) so training through the kernel works
 # on TPU — the same treatment as ops/pallas/groupnorm.py.
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def _conv3_diff(x, kernel, bias, residual, interpret, form):
-    return _conv3_fwd_only(x, kernel, bias, residual, interpret=interpret,
-                           form=form)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def _conv3_diff(x, kernel, bias, residual, gn_scale, gn_shift,
+                interpret, form):
+    return _conv3_fwd_only(x, kernel, bias, residual, gn_scale, gn_shift,
+                           interpret=interpret, form=form)
 
 
-def _conv3_diff_fwd(x, kernel, bias, residual, interpret, form):
-    out = _conv3_diff(x, kernel, bias, residual, interpret, form)
-    return out, (x, kernel, bias, residual)
+def _conv3_diff_fwd(x, kernel, bias, residual, gn_scale, gn_shift,
+                    interpret, form):
+    out = _conv3_diff(x, kernel, bias, residual, gn_scale, gn_shift,
+                      interpret, form)
+    return out, (x, kernel, bias, residual, gn_scale, gn_shift)
 
 
 def _conv3_diff_bwd(interpret, form, res, g):
-    x, kernel, bias, residual = res
-    diff_args = [x, kernel]
-    if bias is not None:
-        diff_args.append(bias)
-    if residual is not None:
-        diff_args.append(residual)
+    x, kernel, bias, residual, gn_scale, gn_shift = res
+    opt = [bias, residual, gn_scale, gn_shift]
+    diff_args = [x, kernel] + [a for a in opt if a is not None]
 
     def ref(*a):
         xx, kk = a[0], a[1]
         rest = list(a[2:])
         bb = rest.pop(0) if bias is not None else None
         rr = rest.pop(0) if residual is not None else None
-        return _conv3_reference(xx, kk, bb, rr)
+        sc = rest.pop(0) if gn_scale is not None else None
+        sh = rest.pop(0) if gn_shift is not None else None
+        return _conv3_reference(xx, kk, bb, rr, sc, sh)
 
     _, vjp = jax.vjp(ref, *diff_args)
     grads = list(vjp(g))
     gx, gk = grads.pop(0), grads.pop(0)
-    gb = grads.pop(0) if bias is not None else None
-    gr = grads.pop(0) if residual is not None else None
-    return gx, gk, gb, gr
+    out = [gx, gk]
+    for a in opt:
+        out.append(grads.pop(0) if a is not None else None)
+    return tuple(out)
 
 
 _conv3_diff.defvjp(_conv3_diff_fwd, _conv3_diff_bwd)
 
 
 def conv3x3_same(x, kernel, bias=None, residual=None, *,
+                 gn_scale=None, gn_shift=None,
                  interpret: bool = False, form: str | None = None):
     """3x3 stride-1 SAME conv, NHWC x [B,H,W,C] * HWIO kernel [3,3,C,K],
-    optional fused +bias [K] and +residual [B,H,W,K] epilogue. fp32
-    accumulation regardless of input dtype. form: "stacked" (default) or
-    "im2col" — see the kernel docstrings; DTTS_CONV_FORM sets the default."""
-    return _conv3_diff(x, kernel, bias, residual, interpret, form)
+    optional fused +bias [K] and +residual [B,H,W,K] epilogue, and optional
+    GroupNorm+SiLU PROLOGUE: with gn_scale/gn_shift [B, C] fp32 (caller
+    folds the group statistics: scale = rstd*gamma, shift = beta -
+    mean*scale) the kernel computes conv(silu(x*scale + shift)) without the
+    normalized tensor ever visiting HBM — the GN apply that is otherwise a
+    full write + re-read per resnet norm (the SD VAE decoder's GN kernels
+    are 12.6%% of SD e2e device time). fp32 accumulation regardless of
+    input dtype. form: "stacked" (default) or "im2col" — see the kernel
+    docstrings; DTTS_CONV_FORM sets the default."""
+    if (gn_scale is None) != (gn_shift is None):
+        raise ValueError("gn_scale and gn_shift must be given together")
+    return _conv3_diff(x, kernel, bias, residual, gn_scale, gn_shift,
+                       interpret, form)
 
 
 _NO_PALLAS_CONV = bool(os.environ.get("DTTS_NO_PALLAS_CONV"))
 
 
 _MIN_SPATIAL = int(os.environ.get("DTTS_CONV_MIN_SPATIAL", "96"))
+
+
+def pallas_conv3_shape_eligible(h: int, w: int, c: int, kout: int) -> bool:
+    """Shape-only half of the eligibility check (module code uses it to
+    pick the fused-GN route before building the kernel array)."""
+    if _NO_PALLAS_CONV:
+        return False
+    if jax.default_backend() not in ("tpu", "axon"):
+        return False
+    if c % 128 or kout % 128:
+        return False
+    return h % 2 == 0 and h >= _MIN_SPATIAL and w % 16 == 0 and w >= _MIN_SPATIAL
 
 
 def pallas_conv3_eligible(x, kernel) -> bool:
@@ -396,17 +473,11 @@ def pallas_conv3_eligible(x, kernel) -> bool:
     128-px VAE shapes — while small-feature-map UNet levels stay on XLA,
     which is already near its roof there). Read-once env kill-switch
     DTTS_NO_PALLAS_CONV (same trace-time rule as the GN/attn kernels)."""
-    if _NO_PALLAS_CONV:
-        return False
-    if jax.default_backend() not in ("tpu", "axon"):
-        return False
     if kernel.shape[:2] != (3, 3):
         return False
     b, h, w, c = x.shape
-    kout = kernel.shape[-1]
-    if c % 128 or kout % 128:
-        return False
-    return h % 2 == 0 and h >= _MIN_SPATIAL and w % 16 == 0 and w >= _MIN_SPATIAL
+    return pallas_conv3_shape_eligible(h, w, c, kernel.shape[-1])
 
 
-__all__ = ["conv3x3_same", "pallas_conv3_eligible"]
+__all__ = ["conv3x3_same", "pallas_conv3_eligible",
+           "pallas_conv3_shape_eligible"]

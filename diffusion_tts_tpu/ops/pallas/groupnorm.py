@@ -246,6 +246,116 @@ def _group_norm_silu_fwd_only(
     )(*args)
 
 
+def _gn_stats_kernel(x_ref, stats_ref, colsum, colsumsq, *,
+                     cg: int, eps: float, total_hw: int):
+    """Moments-only phase of _gn_kernel: ONE read of x, emitting per-channel
+    mean/rstd [2, C]. Feeds consumers that apply normalization themselves
+    (the Pallas conv's GN prologue) — reshaped jnp group reductions measure
+    13-70 GB/s on the 512x512 VAE tensors where this runs at read bandwidth."""
+    hb = pl.program_id(1)
+    x = x_ref[0].astype(jnp.float32)
+    hbs, w, c = x.shape
+    x2d = x.reshape(hbs * w, c)
+
+    @pl.when(hb == 0)
+    def _init():
+        colsum[:] = jnp.zeros_like(colsum)
+        colsumsq[:] = jnp.zeros_like(colsumsq)
+
+    colsum[:] = colsum[:] + jnp.sum(x2d, axis=0, keepdims=True)
+    colsumsq[:] = colsumsq[:] + jnp.sum(x2d * x2d, axis=0, keepdims=True)
+
+    @pl.when(hb == pl.num_programs(1) - 1)
+    def _finalize():
+        gb = c // cg
+        ch_ids = jax.lax.broadcasted_iota(jnp.int32, (c, gb), 0)
+        g_ids = jax.lax.broadcasted_iota(jnp.int32, (c, gb), 1)
+        onehot = (ch_ids // cg == g_ids).astype(jnp.float32)  # [C, G]
+        dot = lambda a, b: jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        denom = float(total_hw * cg)
+        mean_g = dot(colsum[:], onehot) / denom
+        var_g = jnp.maximum(
+            dot(colsumsq[:], onehot) / denom - mean_g * mean_g, 0.0)
+        stats_ref[0, 0:1, :] = dot(mean_g, onehot.T)
+        stats_ref[0, 1:2, :] = dot(jax.lax.rsqrt(var_g + eps), onehot.T)
+
+
+def _gn_stats_reference(x, groups, eps):
+    b, h, w, c = x.shape
+    xf = x.astype(jnp.float32).reshape(b, h * w, c)
+    s1 = jnp.sum(xf, axis=1)
+    s2 = jnp.sum(xf * xf, axis=1)
+    n = float(h * w * (c // groups))
+    s1g = s1.reshape(b, groups, c // groups).sum(-1)
+    s2g = s2.reshape(b, groups, c // groups).sum(-1)
+    mean_g = s1g / n
+    var_g = jnp.maximum(s2g / n - mean_g * mean_g, 0.0)
+    mean = jnp.repeat(mean_g, c // groups, axis=1)
+    rstd = jnp.repeat(jax.lax.rsqrt(var_g + eps), c // groups, axis=1)
+    return mean, rstd
+
+
+@functools.partial(jax.jit, static_argnames=("groups", "eps", "interpret"))
+def _gn_stats_fwd_only(x, *, groups, eps, interpret=False):
+    b, h, w, c = x.shape
+    assert c % groups == 0
+    hb = _pick_hblock(h, w, c)
+    out = pl.pallas_call(
+        functools.partial(_gn_stats_kernel, cg=c // groups, eps=eps,
+                          total_hw=h * w),
+        out_shape=jax.ShapeDtypeStruct((b, 2, c), jnp.float32),
+        grid=(b, h // hb),
+        in_specs=[pl.BlockSpec((1, hb, w, c), lambda i, j: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 2, c), lambda i, j: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((1, c), jnp.float32),
+            pltpu.VMEM((1, c), jnp.float32),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=3 * b * h * w * c,
+            bytes_accessed=b * h * w * c * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(x)
+    return out[:, 0, :], out[:, 1, :]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def _gn_stats_diff(x, groups, eps, interpret):
+    return _gn_stats_fwd_only(x, groups=groups, eps=eps, interpret=interpret)
+
+
+def _gn_stats_diff_fwd(x, groups, eps, interpret):
+    return _gn_stats_diff(x, groups, eps, interpret), (x,)
+
+
+def _gn_stats_diff_bwd(groups, eps, interpret, res, g):
+    (x,) = res
+    _, vjp = jax.vjp(lambda xx: _gn_stats_reference(xx, groups, eps), x)
+    return vjp(g)
+
+
+_gn_stats_diff.defvjp(_gn_stats_diff_fwd, _gn_stats_diff_bwd)
+
+
+def group_norm_stats(x: jax.Array, *, groups: int, eps: float = 1e-5,
+                     interpret: bool = False):
+    """Per-channel GN statistics (mean, rstd) [B, C] fp32 in ONE read of x.
+
+    TPU: the moments-phase Pallas kernel; elsewhere: the lane-friendly jnp
+    reduction (sum over [B, HW, C] axis 1 — NOT the [B, HW, G, C/G]
+    grouped reshape, which lowers to a 13 GB/s reduction at the 512x512
+    VAE shapes). Differentiable via the jnp mirror's VJP."""
+    if jax.default_backend() in ("tpu", "axon") and pallas_gn_eligible(x):
+        return _gn_stats_diff(x, groups, eps, interpret)
+    return _gn_stats_reference(x, groups, eps)
+
+
 # A/B kill-switch (tools/perf_probe.py). Read ONCE at import: eligibility is
 # evaluated at trace time and jitted callers cache the traced program, so a
 # post-first-call toggle would silently do nothing anyway — set the env var
@@ -266,4 +376,5 @@ def pallas_gn_eligible(x: jax.Array) -> bool:
     return c % 64 == 0 and c >= 128
 
 
-__all__ = ["group_norm_silu", "group_norm_silu_prebias", "pallas_gn_eligible"]
+__all__ = ["group_norm_silu", "group_norm_silu_prebias", "group_norm_stats",
+           "pallas_gn_eligible"]

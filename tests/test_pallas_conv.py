@@ -63,3 +63,63 @@ def test_conv3x3_grads_match_xla():
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("form", ["stacked", "im2col"])
+def test_conv3x3_gn_prologue(form):
+    """GroupNorm+SiLU folded into the conv's input load: conv(silu(x*sc+sh))
+    with per-(batch, channel) scale/shift, zero padding staying zero (SAME
+    pads the conv's input space, i.e. AFTER normalization)."""
+    b, h, w, c, k = 2, 8, 16, 128, 128
+    x = _rand((b, h, w, c), jnp.float32, 0)
+    ker = (_rand((3, 3, c, k), jnp.float32, 1) * 0.05)
+    bias = _rand((k,), jnp.float32, 2)
+    res = _rand((b, h, w, k), jnp.float32, 3)
+    sc = (_rand((b, c), jnp.float32, 4) * 0.5 + 1.0)
+    sh = _rand((b, c), jnp.float32, 5) * 0.1
+    got = conv3x3_same(x, ker, bias, res, gn_scale=sc, gn_shift=sh,
+                       interpret=True, form=form)
+    want = _conv3_reference(x, ker, bias, res, sc, sh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_conv3x3_gn_prologue_grads():
+    b, h, w, c, k = 1, 8, 16, 128, 128
+    x = _rand((b, h, w, c), jnp.float32, 0)
+    ker = (_rand((3, 3, c, k), jnp.float32, 1) * 0.05)
+    sc = (_rand((b, c), jnp.float32, 4) * 0.5 + 1.0)
+    sh = _rand((b, c), jnp.float32, 5) * 0.1
+
+    def f(x, ker, sc, sh):
+        return conv3x3_same(x, ker, gn_scale=sc, gn_shift=sh,
+                            interpret=True).sum()
+
+    def fr(x, ker, sc, sh):
+        return _conv3_reference(x, ker, None, None, sc, sh).sum()
+
+    g = jax.grad(f, argnums=(0, 1, 2, 3))(x, ker, sc, sh)
+    gr = jax.grad(fr, argnums=(0, 1, 2, 3))(x, ker, sc, sh)
+    for a, b_ in zip(g, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=1e-5, rtol=1e-5)
+
+
+def test_groupnorm_scale_shift_fold():
+    """GroupNorm(return_scale_shift=True) folding == the module's own
+    normalize+SiLU output (the contract the conv prologue relies on)."""
+    from diffusion_tts_tpu.models.sd_layers import GroupNorm
+
+    b, h, w, c, g = 2, 4, 4, 64, 32
+    x = _rand((b, h, w, c), jnp.float32, 0)
+    gn = GroupNorm(g, 1e-5, apply_silu=True)
+    vars_ = gn.init(jax.random.key(0), x)
+    # non-trivial affine params
+    vars_ = jax.tree_util.tree_map(
+        lambda a: a + 0.3 * _rand(a.shape, a.dtype, 7), vars_)
+    want = gn.apply(vars_, x)
+    sc, sh = gn.apply(vars_, x, return_scale_shift=True)
+    xn = x * sc[:, None, None, :] + sh[:, None, None, :]
+    got = xn * jax.nn.sigmoid(xn)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)

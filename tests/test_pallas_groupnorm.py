@@ -160,3 +160,23 @@ def test_sd_groupnorm_module_pallas_route_interpret(monkeypatch):
     # sanity: the SiLU really is fused in (output is not plain GN affine)
     plain = SDGroupNorm(32, 1e-5, apply_silu=False).apply(variables, x)
     assert np.abs(np.asarray(plain) - np.asarray(ref)).max() > 0.1
+
+
+def test_gn_stats_kernel_interpret():
+    """Moments-only kernel (group_norm_stats TPU path) vs the jnp mirror."""
+    import numpy as np
+
+    from diffusion_tts_tpu.ops.pallas.groupnorm import (
+        _gn_stats_fwd_only,
+        _gn_stats_reference,
+    )
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 8, 16, 128)) * 2.0 + 0.5,
+                    jnp.float32)
+    mean, rstd = _gn_stats_fwd_only(x, groups=32, eps=1e-5, interpret=True)
+    mean_r, rstd_r = _gn_stats_reference(x, 32, 1e-5)
+    np.testing.assert_allclose(np.asarray(mean), np.asarray(mean_r),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(rstd), np.asarray(rstd_r),
+                               atol=1e-4, rtol=1e-4)

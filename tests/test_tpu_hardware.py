@@ -188,6 +188,32 @@ def test_conv3x3_stacked_compiled(dtype):
 
 
 @requires_tpu
+@pytest.mark.parametrize("dtype", [jnp.bfloat16, jnp.float32])
+def test_conv3x3_gn_prologue_compiled(dtype):
+    """GN+SiLU prologue COMPILED on hardware at a real VAE decoder shape:
+    conv(silu(x*scale + shift)) with the fused bias+residual epilogue."""
+    from diffusion_tts_tpu.ops.pallas.conv3x3 import (
+        conv3x3_same,
+        _conv3_reference,
+    )
+
+    b, h, w, c, k = 2, 128, 128, 256, 128
+    key = jax.random.key(11)
+    x = jax.random.normal(key, (b, h, w, c), dtype)
+    ker = jax.random.normal(jax.random.fold_in(key, 1), (3, 3, c, k), dtype) * 0.05
+    bias = jax.random.normal(jax.random.fold_in(key, 2), (k,), dtype)
+    res = jax.random.normal(jax.random.fold_in(key, 3), (b, h, w, k), dtype)
+    sc = jax.random.normal(jax.random.fold_in(key, 4), (b, c), jnp.float32) * 0.5 + 1.0
+    sh = jax.random.normal(jax.random.fold_in(key, 5), (b, c), jnp.float32) * 0.1
+    got = conv3x3_same(x, ker, bias, res, gn_scale=sc, gn_shift=sh)
+    want = _conv3_reference(x, ker, bias, res, sc, sh)
+    tol = 1e-4 if dtype == jnp.float32 else 5e-2
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               atol=tol, rtol=tol)
+
+
+@requires_tpu
 def test_naive_search_golden_slice_on_tpu():
     """The full search stack (load_network -> Heun sampler -> run_search ->
     scorer) executed ON HARDWARE against the same checked-in golden slice
