@@ -479,5 +479,256 @@ def pallas_conv3_eligible(x, kernel) -> bool:
     return pallas_conv3_shape_eligible(h, w, c, kernel.shape[-1])
 
 
-__all__ = ["conv3x3_same", "pallas_conv3_eligible",
-           "pallas_conv3_shape_eligible"]
+# --------------------------------------------------------- upsample2x + conv
+# Fused nearest-2x-upsample + 3x3 SAME conv via the 2x2-phase decomposition
+# (ops/resample.py derives the math; diffusers upsampling.py Upsample2D is
+# the op being replaced, driven per candidate by the reference's scoring
+# decode, pipeline_stable_diffusion.py:1413-1414). XLA executes the phased
+# form as 4 grouped convs + an explicit interleave — on the VAE decoder's
+# upsamplers the interleave alone (concatenate/broadcast/reshape) is ~8% of
+# SD e2e device self-time and the convs run at ~0.15 of peak. This kernel:
+#
+#   * lhs assembly identical to the stacked kernel: lbuf [mc, 3C] stacks the
+#     three SOURCE-row taps (X[s-1], X[s], X[s+1]) from the haloed xs scratch
+#   * TWO dots at the phased-FLOP minimum (16 MACs per 2x2 output block —
+#     2.25x fewer than a full conv at target resolution):
+#       qa = lbuf[:, 0:2C] @ wa   # output row-phase a=0: X[s-1], X[s]
+#       qb = lbuf[:, C:3C] @ wb   # output row-phase a=1: X[s],   X[s+1]
+#     where wa/wb [2C, 4K] hold the fp32-folded row taps (W0 | W1+W2 and
+#     W0+W1 | W2) times the four column-tap folds (W_x0 | W_x1+W_x2 |
+#     W_x0+W_x1 | W_x2). Contraction depth 2C, dot N = 4K — wider than even
+#     the stacked form's 3C x 3K.
+#   * column phases resolved post-dot with 32-bit rolls on the fp32 partials
+#     (wrap lands in the discarded W-pad columns, as in the stacked form)
+#   * the column interleave NEVER happens: the combined [mc, 2K] chunk rows
+#     carry target columns as u = b*K + k, and the kernel writes an output
+#     allocated [B, H, 2, W, 2K] whose row-major linearization IS
+#     [B, 2H, 2W, K] — the caller's final jnp.reshape is a pure relayout
+#     (one on-chip pass) instead of XLA's concat+broadcast interleave.
+
+
+def _conv3_up2_kernel(body_ref, top_ref, bot_ref, wa_ref, wb_ref, *rest,
+                      th: int, tc: int, w: int, c: int, kout: int,
+                      has_bias: bool, precision):
+    refs = list(rest)
+    bias_ref = refs.pop(0) if has_bias else None
+    y_ref, xs, lbuf0, lbuf1 = refs
+    i = pl.program_id(1)
+    n_i = pl.num_programs(1)
+    first = (pl.program_id(0) == 0) & (i == 0)
+    wp = w + _WPAD
+
+    @pl.when(first)
+    def _zero_scratch():
+        xs[:] = jnp.zeros_like(xs)
+
+    body = body_ref[0]
+    top = top_ref[0, 0].astype(xs.dtype)
+    bot = bot_ref[0, 0].astype(xs.dtype)
+    xs[1:th + 1, 1:w + 1, :] = body
+    xs[0, 1:w + 1, :] = jnp.where(i > 0, top, jnp.zeros_like(top))
+    xs[th + 1, 1:w + 1, :] = jnp.where(i < n_i - 1, bot, jnp.zeros_like(bot))
+
+    mc = tc * wp
+    k = kout
+    for j in range(th // tc):
+        lbuf = lbuf0 if j % 2 == 0 else lbuf1
+        r0 = j * tc
+        for dy in range(3):
+            lbuf[:, dy * c:(dy + 1) * c] = (
+                xs[r0 + dy:r0 + dy + tc, :, :].reshape(mc, c))
+        qa = jnp.dot(lbuf[:, 0:2 * c], wa_ref[:],
+                     preferred_element_type=jnp.float32, precision=precision)
+        qb = jnp.dot(lbuf[:, c:3 * c], wb_ref[:],
+                     preferred_element_type=jnp.float32, precision=precision)
+
+        def combine(q):
+            # target col 2t   = xs[t]   @ Wx0       + xs[t+1] @ (Wx1+Wx2)
+            # target col 2t+1 = xs[t+1] @ (Wx0+Wx1) + xs[t+2] @ Wx2
+            # (xs col t+1 holds data col t; col 0 is the SAME zero pad)
+            b0 = q[:, 0:k] + pltpu.roll(q[:, k:2 * k], mc - 1, axis=0)
+            b1 = (pltpu.roll(q[:, 2 * k:3 * k], mc - 1, axis=0)
+                  + pltpu.roll(q[:, 3 * k:4 * k], mc - 2, axis=0))
+            return jnp.concatenate([b0, b1], axis=1)  # [mc, 2K], u = b*K+k
+
+        ya, yb = combine(qa), combine(qb)
+        if bias_ref is not None:
+            bb = bias_ref[0].astype(jnp.float32)
+            ya = ya + bb
+            yb = yb + bb
+        ya = ya.reshape(tc, wp, 2 * k)[:, 0:w, :]
+        yb = yb.reshape(tc, wp, 2 * k)[:, 0:w, :]
+        y_ref[0, r0:r0 + tc, 0] = ya.astype(y_ref.dtype)
+        y_ref[0, r0:r0 + tc, 1] = yb.astype(y_ref.dtype)
+
+
+def _pick_tiles_up2(h: int, w: int, c: int, kout: int, itemsize: int,
+                    budget: int = 0) -> tuple[int, int]:
+    budget = budget or _VMEM_BUDGET
+    wp = w + _WPAD
+
+    def est(th, tc):
+        mc = tc * wp
+        return (2 * mc * 3 * c * itemsize            # two lbuf slots
+                + 2 * mc * 4 * kout * 4              # qa + qb (fp32)
+                + (th + 2) * wp * c * itemsize       # xs
+                + 2 * th * w * c * itemsize          # body double-buffered
+                + 4 * th * w * 4 * kout * itemsize   # y double-buffered (4x)
+                + 2 * 2 * c * 4 * kout * itemsize)   # wa + wb
+
+    for tc in (8, 4, 2, 1):
+        if h % tc:
+            continue
+        for chunks in (4, 2, 1):
+            th = tc * chunks
+            if h % th == 0 and est(th, tc) <= budget:
+                return th, tc
+    return 1, 1
+
+
+def _up2_reference(x, kernel, bias=None):
+    from diffusion_tts_tpu.ops.resample import nn_upsample2x_conv3x3
+
+    return nn_upsample2x_conv3x3(x, kernel, bias)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _conv3_up2_fwd_only(x, kernel, bias=None, *, interpret: bool = False):
+    b, h, w, c = x.shape
+    kout = kernel.shape[-1]
+    th, tc = _pick_tiles_up2(h, w, c, kout, x.dtype.itemsize)
+
+    # fp32 tap folds (the only reassociation vs the unfused formulation —
+    # the same folds ops/resample.py::phase_kernels does), cast to x.dtype.
+    wf = kernel.astype(jnp.float32)                      # [ky, kx, C, K]
+    rows_a = jnp.stack([wf[0], wf[1] + wf[2]], axis=0)   # [2, kx, C, K]
+    rows_b = jnp.stack([wf[0] + wf[1], wf[2]], axis=0)
+
+    def colfold(r):  # [2, kx, C, K] -> [2C, 4K]
+        cb = jnp.stack([r[:, 0], r[:, 1] + r[:, 2],
+                        r[:, 0] + r[:, 1], r[:, 2]], axis=2)  # [2, C, 4, K]
+        return cb.reshape(2 * c, 4 * kout).astype(x.dtype)
+
+    wa, wb = colfold(rows_a), colfold(rows_b)
+
+    in_specs = [
+        pl.BlockSpec((1, th, w, c), lambda bi, i: (bi, i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, w, c),
+                     lambda bi, i: (bi, jnp.maximum(i * th - 1, 0), 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, w, c),
+                     lambda bi, i: (bi, jnp.minimum(i * th + th, h - 1), 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(wa.shape, lambda bi, i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(wb.shape, lambda bi, i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    args = [x, x, x, wa, wb]
+    if bias is not None:
+        in_specs.append(pl.BlockSpec((1, 2 * kout), lambda bi, i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(jnp.concatenate([bias, bias]).reshape(1, 2 * kout))
+
+    kern = functools.partial(
+        _conv3_up2_kernel, th=th, tc=tc, w=w, c=c, kout=kout,
+        has_bias=bias is not None,
+        # DEFAULT precision: fp32 operands get the MXU's bf16-product
+        # rounding, the same contract as XLA's own default conv lowering
+        # (measured ~2e-3 relative vs the jnp reference at 2C=512 depth;
+        # HIGHEST measures WORSE here — a systematic 4e-3 drift on
+        # hardware — so it is deliberately not used).
+        precision=jax.lax.Precision.DEFAULT,
+    )
+    scratch = [
+        pltpu.VMEM(((th + 2), w + _WPAD, c), x.dtype),     # xs
+        pltpu.VMEM((tc * (w + _WPAD), 3 * c), x.dtype),    # lbuf slot 0
+        pltpu.VMEM((tc * (w + _WPAD), 3 * c), x.dtype),    # lbuf slot 1
+    ]
+    out = pl.pallas_call(
+        kern,
+        # [B, H, 2, W, 2K]: row-major-identical to [B, 2H, 2W, K] — the
+        # final reshape is a relayout, never an interleave.
+        out_shape=jax.ShapeDtypeStruct((b, h, 2, w, 2 * kout), x.dtype),
+        grid=(b, h // th),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, th, 2, w, 2 * kout),
+                               lambda bi, i: (bi, i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=scratch,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(1.5 * _VMEM_BUDGET) + 2**20,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=32 * b * h * w * c * kout,
+            bytes_accessed=(b * h * w * (c + 4 * kout) * x.dtype.itemsize
+                            + 2 * 2 * c * 4 * kout * x.dtype.itemsize),
+            transcendentals=0,
+        ),
+    )(*args)
+    return out.reshape(b, 2 * h, 2 * w, kout)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _conv3_up2_diff(x, kernel, bias, interpret):
+    return _conv3_up2_fwd_only(x, kernel, bias, interpret=interpret)
+
+
+def _conv3_up2_diff_fwd(x, kernel, bias, interpret):
+    return _conv3_up2_diff(x, kernel, bias, interpret), (x, kernel, bias)
+
+
+def _conv3_up2_diff_bwd(interpret, res, g):
+    x, kernel, bias = res
+    diff_args = [x, kernel] + ([bias] if bias is not None else [])
+
+    def ref(*a):
+        return _up2_reference(a[0], a[1], a[2] if bias is not None else None)
+
+    _, vjp = jax.vjp(ref, *diff_args)
+    grads = list(vjp(g))
+    gx, gk = grads.pop(0), grads.pop(0)
+    return gx, gk, (grads.pop(0) if bias is not None else None)
+
+
+_conv3_up2_diff.defvjp(_conv3_up2_diff_fwd, _conv3_up2_diff_bwd)
+
+
+def conv3x3_up2(x, kernel, bias=None, *, interpret: bool = False):
+    """nearest-2x upsample + 3x3 stride-1 SAME conv, fused. x [B,H,W,C]
+    NHWC, kernel [3,3,C,K] HWIO, optional bias [K]; returns [B,2H,2W,K] ==
+    conv3x3_pad1(nearest_up2(x)) (ops/resample.py::nn_upsample2x_conv3x3's
+    contract, with the same fp32 tap folds). fp32 accumulation; backward is
+    the jnp reference's VJP (custom_vjp)."""
+    return _conv3_up2_diff(x, kernel, bias, interpret)
+
+
+_NO_PALLAS_UPCONV = bool(os.environ.get("DTTS_NO_PALLAS_UPCONV"))
+_UP2_MIN_SPATIAL = int(os.environ.get("DTTS_UPCONV_MIN_SPATIAL", "96"))
+
+
+def pallas_up2_eligible(x, kernel) -> bool:
+    """TPU only; lane-aligned channels; W sublane-tile aligned; SOURCE
+    spatial >= DTTS_UPCONV_MIN_SPATIAL (default 96: hardware A/B at the SD
+    VAE upsampler shapes, B=4 bf16 — 128sq x512: 6.82 ms pallas vs 13.76
+    XLA (2.0x), 256sq x256: 7.58 vs 20.91 (2.8x), 64sq x512: 4.89 vs 4.50
+    (XLA keeps it) — so the 64sq-source upsampler and the SD UNet's
+    tiny-latent upsamplers stay on XLA).
+    Kill-switches: DTTS_NO_PALLAS_UPCONV (this kernel only) and
+    DTTS_NO_PALLAS_CONV (every conv kernel in this module)."""
+    if _NO_PALLAS_UPCONV or _NO_PALLAS_CONV:
+        return False
+    if jax.default_backend() not in ("tpu", "axon"):
+        return False
+    if kernel.shape[:2] != (3, 3):
+        return False
+    b, h, w, c = x.shape
+    kout = kernel.shape[-1]
+    if c % 128 or kout % 128:
+        return False
+    return (h % 2 == 0 and w % 16 == 0
+            and h >= _UP2_MIN_SPATIAL and w >= _UP2_MIN_SPATIAL)
+
+
+__all__ = ["conv3x3_same", "conv3x3_up2", "pallas_conv3_eligible",
+           "pallas_conv3_shape_eligible", "pallas_up2_eligible"]

@@ -105,6 +105,48 @@ def test_conv3x3_gn_prologue_grads():
                                    atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+@pytest.mark.parametrize("shape", [
+    (2, 16, 16, 128, 128),   # multi-band tiling
+    (1, 8, 16, 256, 128),    # single band (top+bottom boundary in one)
+    (2, 32, 8, 128, 256),    # tall, K > C
+])
+def test_conv3x3_up2_matches_reference(dtype, shape):
+    """Fused nearest-2x + conv == the jnp phased reference
+    (ops/resample.py::nn_upsample2x_conv3x3), which itself is golden-pinned
+    against explicit-upsample torch (diffusers Upsample2D semantics)."""
+    from diffusion_tts_tpu.ops.pallas.conv3x3 import conv3x3_up2
+    from diffusion_tts_tpu.ops.resample import nn_upsample2x_conv3x3
+
+    b, h, w, c, k = shape
+    x = _rand((b, h, w, c), dtype, 0)
+    ker = (_rand((3, 3, c, k), dtype, 1) * 0.05).astype(dtype)
+    bias = _rand((k,), dtype, 2)
+    got = conv3x3_up2(x, ker, bias, interpret=True)
+    want = nn_upsample2x_conv3x3(x, ker, bias)
+    assert got.shape == (b, 2 * h, 2 * w, k)
+    tol = 1e-4 if dtype == jnp.float32 else 5e-2
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        atol=tol, rtol=tol)
+
+
+def test_conv3x3_up2_grads_match_reference():
+    from diffusion_tts_tpu.ops.pallas.conv3x3 import conv3x3_up2
+    from diffusion_tts_tpu.ops.resample import nn_upsample2x_conv3x3
+
+    x = _rand((1, 8, 16, 128), jnp.float32, 6)
+    ker = (_rand((3, 3, 128, 128), jnp.float32, 7) * 0.05)
+    bias = _rand((128,), jnp.float32, 8)
+    g1 = jax.grad(lambda a, b, c: conv3x3_up2(a, b, c, interpret=True).sum(),
+                  argnums=(0, 1, 2))(x, ker, bias)
+    g2 = jax.grad(lambda a, b, c: nn_upsample2x_conv3x3(a, b, c).sum(),
+                  argnums=(0, 1, 2))(x, ker, bias)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
 def test_groupnorm_scale_shift_fold():
     """GroupNorm(return_scale_shift=True) folding == the module's own
     normalize+SiLU output (the contract the conv prologue relies on)."""

@@ -189,6 +189,33 @@ def test_conv3x3_stacked_compiled(dtype):
 
 @requires_tpu
 @pytest.mark.parametrize("dtype", [jnp.bfloat16, jnp.float32])
+def test_conv3x3_up2_compiled(dtype):
+    """The fused nearest-2x-upsample + conv kernel COMPILED on hardware
+    (phase-major output + bitcast reshape) vs the jnp phased reference, at
+    a real VAE decoder upsampler shape."""
+    from diffusion_tts_tpu.ops.pallas.conv3x3 import conv3x3_up2
+    from diffusion_tts_tpu.ops.resample import nn_upsample2x_conv3x3
+
+    b, h, w, c, k = 2, 128, 128, 256, 256
+    key = jax.random.key(13)
+    x = jax.random.normal(key, (b, h, w, c), dtype)
+    ker = jax.random.normal(jax.random.fold_in(key, 1), (3, 3, c, k), dtype) * 0.05
+    bias = jax.random.normal(jax.random.fold_in(key, 2), (k,), dtype)
+    got = conv3x3_up2(x, ker, bias)
+    want = nn_upsample2x_conv3x3(x, ker, bias)
+    # fp32: the kernel's dots ride the MXU's DEFAULT (bf16-product)
+    # precision — the same contract as XLA's default conv lowering — but
+    # the contraction SHAPES differ from the reference conv's, so the two
+    # bf16 roundings diverge by ~2e-3 relative (measured; interpret mode
+    # matches at 1e-4 in true fp32).
+    tol = 1e-2 if dtype == jnp.float32 else 5e-2
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               atol=tol, rtol=tol)
+
+
+@requires_tpu
+@pytest.mark.parametrize("dtype", [jnp.bfloat16, jnp.float32])
 def test_conv3x3_gn_prologue_compiled(dtype):
     """GN+SiLU prologue COMPILED on hardware at a real VAE decoder shape:
     conv(silu(x*scale + shift)) with the fused bias+residual epilogue."""
