@@ -53,12 +53,17 @@ class VAEAttention(nn.Module):
         q = nn.Dense(c, dtype=self.dtype, name="to_q")(t)
         k = nn.Dense(c, dtype=self.dtype, name="to_k")(t)
         v = nn.Dense(c, dtype=self.dtype, name="to_v")(t)
-        scale = 1.0 / jnp.sqrt(jnp.asarray(c, jnp.float32))
-        attn = jnp.einsum("bqc,bkc->bqk", q.astype(jnp.float32) * scale,
-                          k.astype(jnp.float32), preferred_element_type=jnp.float32)
-        attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
-        out = jnp.einsum("bqk,bkc->bqc", attn, v,
-                         preferred_element_type=jnp.float32).astype(v.dtype)
+        from diffusion_tts_tpu.ops.attention import multihead_attention_fp32
+
+        # single head of size C through the shared fp32-softmax attention
+        # entry: the flash kernel on TPU (T=4096 tokens at 512px decode —
+        # the XLA einsum materializes the [B, 4096, 4096] fp32 score matrix
+        # in HBM and its softmax alone is ~0.7% of SD e2e device time), the
+        # numerically-identical XLA path elsewhere.
+        tq = h * w
+        out = multihead_attention_fp32(
+            q.reshape(b, tq, 1, c), k.reshape(b, tq, 1, c),
+            v.reshape(b, tq, 1, c)).reshape(b, tq, c)
         out = nn.Dense(c, dtype=self.dtype, name="to_out_0")(out)
         return res + out.reshape(b, h, w, c)
 

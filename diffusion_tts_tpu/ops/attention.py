@@ -43,7 +43,15 @@ def _pallas_eligible(q: jax.Array) -> bool:
     b, t, h, d = q.shape
     # Pallas pays off once the score matrix stops fitting in registers/VMEM
     # comfortably; tiny feature maps are faster through plain XLA fusion.
-    return t >= 1024 and d % 8 == 0
+    # Upper bound: the kernel keeps one head's FULL K/V resident in VMEM
+    # (ops/pallas/attention.py BlockSpecs), so t*d past ~1M elements must
+    # take the XLA path. The VAE mid-block's [4096, 512] single head sits
+    # there: resident K/V needs 20 MB (> the 16 MB scoped vmem), and a
+    # probed K-streaming grid variant (third grid dim + scratch-carried
+    # online softmax, 512-tiles) measured 89 ms vs XLA's 5-9 ms at
+    # [4, 4096, 1, 512] bf16 — XLA's batched pipeline wins outright at
+    # single-head D=512, so that variant was removed rather than shipped.
+    return t >= 1024 and d % 8 == 0 and t * d < 2**21
 
 
 def fused_qkv_self_attention(
