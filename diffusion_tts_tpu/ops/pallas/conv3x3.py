@@ -146,6 +146,12 @@ _PROBE_MODE = os.environ.get("DTTS_CONV_PROBE_MODE", "")
 # Kernel form: "stacked" (default — wider-N dot, dx resolved post-dot on
 # fp32) or "im2col" (one [mc, 9C] x [9C, K] dot). Read once at import.
 _FORM = os.environ.get("DTTS_CONV_FORM", "stacked")
+# A/B probe: do the stacked form's post-dot dx combine in bf16 (static
+# two-piece shifts + bf16 adds — half the VMEM traffic of the fp32
+# pltpu.roll chain, which the traffic accounting puts at ~60% of the
+# kernel wall). Numerics: partials round to bf16 BEFORE the 3-term sum
+# (vs one final cast) — a bf16-epsilon-level divergence from the XLA conv.
+_COMBINE_BF16 = os.environ.get("DTTS_CONV_COMBINE_BF16", "") not in ("", "0")
 
 
 def _conv3_stacked_kernel(body_ref, top_ref, bot_ref, w2s_ref, *rest,
@@ -215,13 +221,30 @@ def _conv3_stacked_kernel(body_ref, top_ref, bot_ref, w2s_ref, *rest,
         cc = q[:, 2 * kout:3 * kout]
         # y[m] = a[m] + b[m+1] + cc[m+2]; the wrapped tail rows only feed
         # the discarded pad columns.
-        out = a + pltpu.roll(b, mc - 1, axis=0) + pltpu.roll(cc, mc - 2, axis=0)
-        out = out.reshape(tc, wp, kout)[:, 0:w, :]
-        if bias_ref is not None:
-            out = out + bias_ref[0].astype(jnp.float32)
-        if res_ref is not None:
-            out = out + res_ref[0, r0:r0 + tc].astype(jnp.float32)
-        y_ref[0, r0:r0 + tc] = out.astype(y_ref.dtype)
+        if _COMBINE_BF16 and y_ref.dtype == jnp.bfloat16:
+            # bf16 end-to-end epilogue: half the VMEM traffic of the fp32
+            # roll chain; static two-piece shifts instead of dynamic_rotate
+            a16 = a.astype(jnp.bfloat16)
+            b16 = b.astype(jnp.bfloat16)
+            c16 = cc.astype(jnp.bfloat16)
+            out = (a16
+                   + jnp.concatenate([b16[1:], b16[:1]], axis=0)
+                   + jnp.concatenate([c16[2:], c16[:2]], axis=0))
+            out = out.reshape(tc, wp, kout)[:, 0:w, :]
+            if bias_ref is not None:
+                out = out + bias_ref[0].astype(jnp.bfloat16)
+            if res_ref is not None:
+                out = out + res_ref[0, r0:r0 + tc].astype(jnp.bfloat16)
+            y_ref[0, r0:r0 + tc] = out
+        else:
+            out = (a + pltpu.roll(b, mc - 1, axis=0)
+                   + pltpu.roll(cc, mc - 2, axis=0))
+            out = out.reshape(tc, wp, kout)[:, 0:w, :]
+            if bias_ref is not None:
+                out = out + bias_ref[0].astype(jnp.float32)
+            if res_ref is not None:
+                out = out + res_ref[0, r0:r0 + tc].astype(jnp.float32)
+            y_ref[0, r0:r0 + tc] = out.astype(y_ref.dtype)
 
 
 def _pick_tiles(h: int, w: int, c: int, kout: int, itemsize: int,

@@ -131,6 +131,26 @@ def test_conv3x3_up2_matches_reference(dtype, shape):
         atol=tol, rtol=tol)
 
 
+def test_conv3x3_stacked_bf16_combine(monkeypatch):
+    """DTTS_CONV_COMBINE_BF16: the stacked form's post-dot dx combine in
+    bf16 (static two-piece shifts, bf16 epilogue) — partials round to bf16
+    before the 3-term sum, so parity with the fp32-combine reference holds
+    at bf16 tolerance."""
+    import diffusion_tts_tpu.ops.pallas.conv3x3 as c3
+
+    monkeypatch.setattr(c3, "_COMBINE_BF16", True)
+    b, h, w, c, k = 1, 12, 32, 128, 128  # unique shape: forces a retrace
+    x = _rand((b, h, w, c), jnp.bfloat16, 20)
+    ker = (_rand((3, 3, c, k), jnp.bfloat16, 21) * 0.05).astype(jnp.bfloat16)
+    bias = _rand((k,), jnp.bfloat16, 22)
+    res = _rand((b, h, w, k), jnp.bfloat16, 23)
+    got = conv3x3_same(x, ker, bias, res, interpret=True, form="stacked")
+    want = _conv3_reference(x, ker, bias, res)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        atol=7e-2, rtol=7e-2)
+
+
 def test_conv3x3_up2_grads_match_reference():
     from diffusion_tts_tpu.ops.pallas.conv3x3 import conv3x3_up2
     from diffusion_tts_tpu.ops.resample import nn_upsample2x_conv3x3
