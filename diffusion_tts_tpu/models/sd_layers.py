@@ -122,7 +122,7 @@ class Conv3x3(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, residual=None, gn=None):
+    def __call__(self, x, residual=None, gn=None, shortcut=None):
         cin = x.shape[-1]
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (3, 3, cin, self.features))
@@ -135,11 +135,22 @@ class Conv3x3(nn.Module):
             pallas_conv3_eligible,
         )
 
+        if shortcut is not None:
+            # (sc_x, sc_kernel [1,1,Cres,K], sc_bias): the resnet's 1x1
+            # conv_shortcut, folded into this conv's epilogue on the
+            # Pallas route (callers gate on pallas_shortcut_eligible)
+            sc_x, sc_k, sc_b = shortcut
+            sc_x, sc_k, sc_b = nn.dtypes.promote_dtype(
+                sc_x, sc_k, sc_b, dtype=self.dtype)
+            sc_w = sc_k[0, 0]  # [Cres, K]
+            bias = bias + sc_b
+
         if pallas_conv3_eligible(x, kernel):
-            if gn is not None:
-                return conv3x3_same(x, kernel, bias, residual,
-                                    gn_scale=gn[0], gn_shift=gn[1])
-            return conv3x3_same(x, kernel, bias, residual)
+            kw = dict(gn_scale=gn[0], gn_shift=gn[1]) if gn is not None else {}
+            if shortcut is not None:
+                return conv3x3_same(x, kernel, bias,
+                                    shortcut=(sc_x, sc_w), **kw)
+            return conv3x3_same(x, kernel, bias, residual, **kw)
         if gn is not None:
             # non-Pallas shapes: same math, XLA fuses the normalize+SiLU
             # into the conv input as a producer fusion
@@ -152,6 +163,8 @@ class Conv3x3(nn.Module):
         out = out + bias
         if residual is not None:
             out = out + residual
+        if shortcut is not None:
+            out = out + jnp.einsum("bhwc,ck->bhwk", sc_x, sc_w)
         return out
 
 
@@ -160,6 +173,22 @@ def conv3(features, dtype, name, stride=1):
         return Conv3x3(features, dtype, name=name)
     return nn.Conv(features, (3, 3), strides=(stride, stride),
                    padding=[(1, 1), (1, 1)], dtype=dtype, name=name)
+
+
+class _Conv1x1Params(nn.Module):
+    """Parameter container for the resnet's 1x1 conv_shortcut with
+    nn.Conv-compatible param names/shapes/inits (kernel [1,1,Cin,K] +
+    bias [K]), so checkpoints are interchangeable whether the projection
+    executes standalone (XLA) or folded into conv2's Pallas epilogue."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, cin):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (1, 1, cin, self.features))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return k, b
 
 
 class ResnetBlock2D(nn.Module):
@@ -211,16 +240,29 @@ class ResnetBlock2D(nn.Module):
             h = norm2(h)
             if self.dropout > 0.0:
                 h = nn.Dropout(self.dropout, deterministic=not train)(h)
-        if in_ch != self.out_channels:
-            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
-                        name="conv_shortcut")(x)
         # skip add fused into conv2's epilogue on the Pallas route (one HBM
         # pass saved per resnet); the fallback adds it after the conv —
-        # identical math to the previous `x + h`.
+        # identical math to the previous `x + h`. When the skip needs the
+        # 1x1 conv_shortcut projection, the PROJECTION ITSELF also folds
+        # into conv2 (pallas_shortcut_eligible): the standalone 1x1 op
+        # (HBM-bound, 0.25 of peak in the SD trace) and the residual
+        # re-read both disappear.
         conv2 = Conv3x3(self.out_channels, self.dtype, name="conv2")
+        gn2 = norm2(h, return_scale_shift=True) if fuse2 else None
+        if in_ch != self.out_channels:
+            from diffusion_tts_tpu.ops.pallas.conv3x3 import (
+                pallas_shortcut_eligible,
+            )
+
+            sc_k, sc_b = _Conv1x1Params(self.out_channels,
+                                        name="conv_shortcut")(in_ch)
+            if fuse2 and pallas_shortcut_eligible(in_ch):
+                return conv2(h, gn=gn2, shortcut=(x, sc_k, sc_b))
+            xd, kd, bd = nn.dtypes.promote_dtype(x, sc_k, sc_b,
+                                                 dtype=self.dtype)
+            x = jnp.einsum("bhwc,ck->bhwk", xd, kd[0, 0]) + bd
         if fuse2:
-            return conv2(h, residual=x,
-                         gn=norm2(h, return_scale_shift=True))
+            return conv2(h, residual=x, gn=gn2)
         return conv2(h, residual=x)
 
 

@@ -156,7 +156,8 @@ _COMBINE_BF16 = os.environ.get("DTTS_CONV_COMBINE_BF16", "") not in ("", "0")
 
 def _conv3_stacked_kernel(body_ref, top_ref, bot_ref, w2s_ref, *rest,
                           th: int, tc: int, w: int, c: int, kout: int,
-                          has_bias: bool, has_residual: bool, has_gn: bool):
+                          has_bias: bool, has_residual: bool, has_gn: bool,
+                          has_shortcut: bool = False):
     """Output-stacked tap dot: ONE [mc, 3C] x [3C, 3K] matmul per chunk.
 
     The im2col form's dot is [mc, 9C] x [9C, K] — K output lanes, ONE MXU
@@ -178,6 +179,8 @@ def _conv3_stacked_kernel(body_ref, top_ref, bot_ref, w2s_ref, *rest,
     gnsh_ref = refs.pop(0) if has_gn else None
     bias_ref = refs.pop(0) if has_bias else None
     res_ref = refs.pop(0) if has_residual else None
+    scin_ref = refs.pop(0) if has_shortcut else None
+    scw_ref = refs.pop(0) if has_shortcut else None
     y_ref, xs, lbuf0, lbuf1 = refs
     i = pl.program_id(1)
     n_i = pl.num_programs(1)
@@ -221,6 +224,16 @@ def _conv3_stacked_kernel(body_ref, top_ref, bot_ref, w2s_ref, *rest,
         cc = q[:, 2 * kout:3 * kout]
         # y[m] = a[m] + b[m+1] + cc[m+2]; the wrapped tail rows only feed
         # the discarded pad columns.
+        scd = None
+        if scin_ref is not None:
+            # fused 1x1 conv_shortcut projection: one more MXU dot on rows
+            # already pipelined into VMEM — the standalone 1x1 op's HBM
+            # write and this kernel's residual re-read never happen
+            cres = scw_ref.shape[0]
+            scrows = scin_ref[0, r0:r0 + tc].reshape(tc * w, cres)
+            scd = jnp.dot(scrows, scw_ref[:],
+                          preferred_element_type=jnp.float32
+                          ).reshape(tc, w, kout)
         if _COMBINE_BF16 and y_ref.dtype == jnp.bfloat16:
             # bf16 end-to-end epilogue: half the VMEM traffic of the fp32
             # roll chain; static two-piece shifts instead of dynamic_rotate
@@ -235,6 +248,8 @@ def _conv3_stacked_kernel(body_ref, top_ref, bot_ref, w2s_ref, *rest,
                 out = out + bias_ref[0].astype(jnp.bfloat16)
             if res_ref is not None:
                 out = out + res_ref[0, r0:r0 + tc].astype(jnp.bfloat16)
+            if scd is not None:
+                out = out + scd.astype(jnp.bfloat16)
             y_ref[0, r0:r0 + tc] = out
         else:
             out = (a + pltpu.roll(b, mc - 1, axis=0)
@@ -244,6 +259,8 @@ def _conv3_stacked_kernel(body_ref, top_ref, bot_ref, w2s_ref, *rest,
                 out = out + bias_ref[0].astype(jnp.float32)
             if res_ref is not None:
                 out = out + res_ref[0, r0:r0 + tc].astype(jnp.float32)
+            if scd is not None:
+                out = out + scd
             y_ref[0, r0:r0 + tc] = out.astype(y_ref.dtype)
 
 
@@ -275,7 +292,7 @@ def _pick_tiles(h: int, w: int, c: int, kout: int, itemsize: int,
 
 
 def _pick_tiles_stacked(h: int, w: int, c: int, kout: int, itemsize: int,
-                        budget: int = 0) -> tuple[int, int]:
+                        budget: int = 0, cres: int = 0) -> tuple[int, int]:
     budget = budget or _VMEM_BUDGET
     wp = w + _WPAD
 
@@ -286,7 +303,10 @@ def _pick_tiles_stacked(h: int, w: int, c: int, kout: int, itemsize: int,
                 + (th + 2) * wp * c * itemsize       # xs
                 + 2 * th * w * c * itemsize          # body double-buffered
                 + 2 * th * w * kout * itemsize       # y double-buffered
-                + 3 * c * 3 * kout * itemsize)       # w2s
+                + 3 * c * 3 * kout * itemsize        # w2s
+                + 2 * th * w * cres * itemsize       # shortcut in (dbl-buf)
+                + cres * kout * itemsize             # shortcut weights
+                + (tc * w * kout * 4 if cres else 0))  # shortcut dot (fp32)
 
     for tc in (16, 8, 4, 2, 1):
         if h % tc:
@@ -299,7 +319,7 @@ def _pick_tiles_stacked(h: int, w: int, c: int, kout: int, itemsize: int,
 
 
 def _conv3_reference(x, kernel, bias=None, residual=None,
-                     gn_scale=None, gn_shift=None):
+                     gn_scale=None, gn_shift=None, sc_x=None, sc_w=None):
     if gn_scale is not None:
         xn = x.astype(jnp.float32) * gn_scale[:, None, None, :] \
             + gn_shift[:, None, None, :]
@@ -313,19 +333,26 @@ def _conv3_reference(x, kernel, bias=None, residual=None,
         out = out + bias.astype(jnp.float32)
     if residual is not None:
         out = out + residual.astype(jnp.float32)
+    if sc_x is not None:
+        out = out + jnp.einsum("bhwc,ck->bhwk", sc_x, sc_w,
+                               preferred_element_type=jnp.float32)
     return out.astype(x.dtype)
 
 
 @functools.partial(
     jax.jit, static_argnames=("interpret", "form"))
 def _conv3_fwd_only(x, kernel, bias=None, residual=None,
-                    gn_scale=None, gn_shift=None, *,
+                    gn_scale=None, gn_shift=None, sc_x=None, sc_w=None, *,
                     interpret: bool = False, form: str | None = None):
     b, h, w, c = x.shape
     kout = kernel.shape[-1]
     form = form or _FORM
+    if sc_x is not None and form != "stacked":
+        raise ValueError("fused conv_shortcut is stacked-form only")
+    cres = sc_x.shape[-1] if sc_x is not None else 0
     if form == "stacked":
-        th, tc = _pick_tiles_stacked(h, w, c, kout, x.dtype.itemsize)
+        th, tc = _pick_tiles_stacked(h, w, c, kout, x.dtype.itemsize,
+                                     cres=cres)
         # [dy, c, dx, k] -> rows dy*C+c, cols dx*K+k
         w2 = kernel.transpose(0, 2, 1, 3).reshape(3 * c, 3 * kout).astype(x.dtype)
     else:
@@ -361,13 +388,21 @@ def _conv3_fwd_only(x, kernel, bias=None, residual=None,
                                      lambda bi, i: (bi, i, 0, 0),
                                      memory_space=pltpu.VMEM))
         args.append(residual)
+    if sc_x is not None:
+        in_specs.append(pl.BlockSpec((1, th, w, cres),
+                                     lambda bi, i: (bi, i, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(sc_x.astype(x.dtype))
+        in_specs.append(pl.BlockSpec((cres, kout), lambda bi, i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(sc_w.astype(x.dtype))
 
-    flops = 2 * b * h * w * 9 * c * kout
+    flops = 2 * b * h * w * (9 * c + cres) * kout
     if form == "stacked":
         kern = functools.partial(
             _conv3_stacked_kernel, th=th, tc=tc, w=w, c=c, kout=kout,
             has_bias=bias is not None, has_residual=residual is not None,
-            has_gn=gn_scale is not None,
+            has_gn=gn_scale is not None, has_shortcut=sc_x is not None,
         )
         scratch = [
             pltpu.VMEM(((th + 2), w + _WPAD, c), x.dtype),     # xs
@@ -399,8 +434,8 @@ def _conv3_fwd_only(x, kernel, bias=None, residual=None,
         ),
         cost_estimate=pl.CostEstimate(
             flops=flops,
-            bytes_accessed=(b * h * w * (c + kout) * x.dtype.itemsize
-                            + 9 * c * kout * x.dtype.itemsize),
+            bytes_accessed=(b * h * w * (c + cres + kout) * x.dtype.itemsize
+                            + (9 * c + cres) * kout * x.dtype.itemsize),
             transcendentals=0,
         ),
     )(*args)
@@ -411,23 +446,23 @@ def _conv3_fwd_only(x, kernel, bias=None, residual=None,
 # reference (numerically the same conv) so training through the kernel works
 # on TPU — the same treatment as ops/pallas/groupnorm.py.
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
 def _conv3_diff(x, kernel, bias, residual, gn_scale, gn_shift,
-                interpret, form):
+                sc_x, sc_w, interpret, form):
     return _conv3_fwd_only(x, kernel, bias, residual, gn_scale, gn_shift,
-                           interpret=interpret, form=form)
+                           sc_x, sc_w, interpret=interpret, form=form)
 
 
 def _conv3_diff_fwd(x, kernel, bias, residual, gn_scale, gn_shift,
-                    interpret, form):
+                    sc_x, sc_w, interpret, form):
     out = _conv3_diff(x, kernel, bias, residual, gn_scale, gn_shift,
-                      interpret, form)
-    return out, (x, kernel, bias, residual, gn_scale, gn_shift)
+                      sc_x, sc_w, interpret, form)
+    return out, (x, kernel, bias, residual, gn_scale, gn_shift, sc_x, sc_w)
 
 
 def _conv3_diff_bwd(interpret, form, res, g):
-    x, kernel, bias, residual, gn_scale, gn_shift = res
-    opt = [bias, residual, gn_scale, gn_shift]
+    x, kernel, bias, residual, gn_scale, gn_shift, sc_x, sc_w = res
+    opt = [bias, residual, gn_scale, gn_shift, sc_x, sc_w]
     diff_args = [x, kernel] + [a for a in opt if a is not None]
 
     def ref(*a):
@@ -437,7 +472,9 @@ def _conv3_diff_bwd(interpret, form, res, g):
         rr = rest.pop(0) if residual is not None else None
         sc = rest.pop(0) if gn_scale is not None else None
         sh = rest.pop(0) if gn_shift is not None else None
-        return _conv3_reference(xx, kk, bb, rr, sc, sh)
+        sx = rest.pop(0) if sc_x is not None else None
+        sw = rest.pop(0) if sc_w is not None else None
+        return _conv3_reference(xx, kk, bb, rr, sc, sh, sx, sw)
 
     _, vjp = jax.vjp(ref, *diff_args)
     grads = list(vjp(g))
@@ -452,7 +489,7 @@ _conv3_diff.defvjp(_conv3_diff_fwd, _conv3_diff_bwd)
 
 
 def conv3x3_same(x, kernel, bias=None, residual=None, *,
-                 gn_scale=None, gn_shift=None,
+                 gn_scale=None, gn_shift=None, shortcut=None,
                  interpret: bool = False, form: str | None = None):
     """3x3 stride-1 SAME conv, NHWC x [B,H,W,C] * HWIO kernel [3,3,C,K],
     optional fused +bias [K] and +residual [B,H,W,K] epilogue, and optional
@@ -463,11 +500,22 @@ def conv3x3_same(x, kernel, bias=None, residual=None, *,
     full write + re-read per resnet norm (the SD VAE decoder's GN kernels
     are 12.6%% of SD e2e device time). fp32 accumulation regardless of
     input dtype. form: "stacked" (default) or "im2col" — see the kernel
-    docstrings; DTTS_CONV_FORM sets the default."""
+    docstrings; DTTS_CONV_FORM sets the default.
+
+    shortcut=(sc_x [B,H,W,Cres], sc_w [Cres,K]) fuses a 1x1 projection of
+    a SECOND input into the epilogue (the resnet conv_shortcut): out +=
+    sc_x @ sc_w, computed as one extra MXU dot per chunk on rows already
+    pipelined into VMEM — the standalone 1x1 op's HBM write and this
+    kernel's residual re-read both disappear. Stacked form only; fold the
+    shortcut's own bias into `bias`."""
     if (gn_scale is None) != (gn_shift is None):
         raise ValueError("gn_scale and gn_shift must be given together")
+    sc_x, sc_w = shortcut if shortcut is not None else (None, None)
+    if shortcut is not None and residual is not None:
+        raise ValueError("shortcut and residual are mutually exclusive "
+                         "(the shortcut IS the resnet skip)")
     return _conv3_diff(x, kernel, bias, residual, gn_scale, gn_shift,
-                       interpret, form)
+                       sc_x, sc_w, interpret, form)
 
 
 _NO_PALLAS_CONV = bool(os.environ.get("DTTS_NO_PALLAS_CONV"))
@@ -486,6 +534,16 @@ def pallas_conv3_shape_eligible(h: int, w: int, c: int, kout: int) -> bool:
     if c % 128 or kout % 128:
         return False
     return h % 2 == 0 and h >= _MIN_SPATIAL and w % 16 == 0 and w >= _MIN_SPATIAL
+
+
+_NO_SC_IN_CONV = bool(os.environ.get("DTTS_NO_SC_IN_CONV"))
+
+
+def pallas_shortcut_eligible(cres: int) -> bool:
+    """Whether a 1x1 conv_shortcut of Cres input channels can fuse into an
+    (already shape-eligible) stacked conv: lane-aligned Cres, stacked form
+    in effect, kill-switch DTTS_NO_SC_IN_CONV."""
+    return (not _NO_SC_IN_CONV and _FORM == "stacked" and cres % 128 == 0)
 
 
 def pallas_conv3_eligible(x, kernel) -> bool:

@@ -151,6 +151,34 @@ def test_conv3x3_stacked_bf16_combine(monkeypatch):
         atol=7e-2, rtol=7e-2)
 
 
+def test_conv3x3_fused_shortcut():
+    """shortcut=(sc_x, sc_w): the resnet's 1x1 conv_shortcut projection of
+    a SECOND input fused into the conv epilogue — out += sc_x @ sc_w —
+    with the GN+SiLU prologue active (the exact ResnetBlock2D fold)."""
+    b, h, w, c, k, cres = 2, 8, 16, 128, 128, 256
+    x = _rand((b, h, w, c), jnp.float32, 30)
+    ker = (_rand((3, 3, c, k), jnp.float32, 31) * 0.05)
+    bias = _rand((k,), jnp.float32, 32)
+    sc_x = _rand((b, h, w, cres), jnp.float32, 33)
+    sc_w = (_rand((cres, k), jnp.float32, 34) * 0.05)
+    sc = (_rand((b, c), jnp.float32, 35) * 0.5 + 1.0)
+    sh = _rand((b, c), jnp.float32, 36) * 0.1
+    got = conv3x3_same(x, ker, bias, gn_scale=sc, gn_shift=sh,
+                       shortcut=(sc_x, sc_w), interpret=True, form="stacked")
+    want = _conv3_reference(x, ker, bias, None, sc, sh, sc_x, sc_w)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-4, rtol=1e-4)
+    # grads flow through sc_x and sc_w via the jnp-reference VJP
+    g = jax.grad(lambda a, b_: conv3x3_same(
+        x, ker, bias, shortcut=(a, b_), interpret=True, form="stacked"
+    ).sum(), argnums=(0, 1))(sc_x, sc_w)
+    gr = jax.grad(lambda a, b_: _conv3_reference(
+        x, ker, bias, None, None, None, a, b_).sum(), argnums=(0, 1))(sc_x, sc_w)
+    for a, b_ in zip(g, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=1e-4, rtol=1e-4)
+
+
 def test_conv3x3_up2_grads_match_reference():
     from diffusion_tts_tpu.ops.pallas.conv3x3 import conv3x3_up2
     from diffusion_tts_tpu.ops.resample import nn_upsample2x_conv3x3

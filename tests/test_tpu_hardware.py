@@ -215,6 +215,37 @@ def test_conv3x3_up2_compiled(dtype):
 
 
 @requires_tpu
+def test_conv3x3_fused_shortcut_compiled():
+    """The fused 1x1 conv_shortcut projection COMPILED on hardware at a
+    real fold shape (up_blocks_3.resnets_0 geometry, reduced spatial),
+    with the GN+SiLU prologue — the exact ResnetBlock2D fold."""
+    from diffusion_tts_tpu.ops.pallas.conv3x3 import (
+        conv3x3_same,
+        _conv3_reference,
+    )
+
+    b, h, w, c, cres = 2, 128, 128, 128, 256
+    key = jax.random.key(17)
+    x = jax.random.normal(key, (b, h, w, c), jnp.bfloat16)
+    ker = jax.random.normal(jax.random.fold_in(key, 1), (3, 3, c, c),
+                            jnp.bfloat16) * 0.05
+    bias = jax.random.normal(jax.random.fold_in(key, 2), (c,), jnp.bfloat16)
+    scx = jax.random.normal(jax.random.fold_in(key, 3), (b, h, w, cres),
+                            jnp.bfloat16)
+    scw = jax.random.normal(jax.random.fold_in(key, 4), (cres, c),
+                            jnp.bfloat16) * 0.05
+    gs = jax.random.normal(jax.random.fold_in(key, 5), (b, c), jnp.float32) \
+        * 0.3 + 1.0
+    gh = jax.random.normal(jax.random.fold_in(key, 6), (b, c), jnp.float32) * 0.1
+    got = conv3x3_same(x, ker, bias, gn_scale=gs, gn_shift=gh,
+                       shortcut=(scx, scw))
+    want = _conv3_reference(x, ker, bias, None, gs, gh, scx, scw)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               atol=5e-2, rtol=5e-2)
+
+
+@requires_tpu
 @pytest.mark.parametrize("dtype", [jnp.bfloat16, jnp.float32])
 def test_conv3x3_gn_prologue_compiled(dtype):
     """GN+SiLU prologue COMPILED on hardware at a real VAE decoder shape:
