@@ -317,19 +317,54 @@ class FeedForward(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        class _Geglu(nn.Module):
-            dim: int
-            mult: int
-            dtype: Any
+        class _DenseParams(nn.Module):
+            """nn.Dense-compatible params (kernel [in, out] + bias [out])
+            created without applying, so the fused Pallas FF and the
+            unfused path share one checkpoint layout."""
+
+            features: int
 
             @nn.compact
-            def __call__(self, x):
-                h = nn.Dense(self.dim * self.mult * 2, dtype=self.dtype, name="proj")(x)
-                h, gate = jnp.split(h, 2, axis=-1)
-                return h * nn.gelu(gate, approximate=False)
+            def __call__(self, cin):
+                k = self.param("kernel", nn.initializers.lecun_normal(),
+                               (cin, self.features))
+                b = self.param("bias", nn.initializers.zeros,
+                               (self.features,))
+                return k, b
 
-        h = _Geglu(self.dim, self.mult, self.dtype, name="net_0")(x)
-        return nn.Dense(self.dim, dtype=self.dtype, name="net_2")(h)
+        class _GegluParams(nn.Module):
+            features: int
+
+            @nn.compact
+            def __call__(self, cin):
+                return _DenseParams(self.features, name="proj")(cin)
+
+        c = x.shape[-1]
+        f = self.dim * self.mult
+        k0, b0 = _GegluParams(2 * f, name="net_0")(c)
+        k2, b2 = _DenseParams(self.dim, name="net_2")(f)
+        x, k0, b0, k2, b2 = nn.dtypes.promote_dtype(
+            x, k0, b0, k2, b2, dtype=self.dtype)
+
+        from diffusion_tts_tpu.ops.pallas.geglu_ff import (
+            geglu_ff,
+            geglu_ff_eligible,
+        )
+
+        m = 1
+        for s in x.shape[:-1]:
+            m *= s
+        if geglu_ff_eligible(m, c, f, x.dtype):
+            # fused FF: the [M, 2F] projection never round-trips HBM and
+            # the exact-erf gelu-gate overlaps the dots across M-tiles —
+            # XLA's lowering serializes it inside net_2's producer fusion
+            # (net_2 measures 0.21-0.33 of peak in the SD trace vs
+            # net_0's 0.73-0.90)
+            return geglu_ff(x, k0, b0, k2, b2)
+        h = jnp.dot(x, k0) + b0
+        h, gate = jnp.split(h, 2, axis=-1)
+        h = h * nn.gelu(gate, approximate=False)
+        return jnp.dot(h, k2) + b2
 
 
 class BasicTransformerBlock(nn.Module):
