@@ -66,6 +66,62 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, tk: int, scale: float):
     o_ref[0] = (acc / l).astype(o_ref.dtype)
 
 
+def _attn_kernel_dual(q_ref, k_ref, v_ref, o_ref, *, tk: int, scale: float):
+    """Two interleaved online-softmax streams over the q tile's halves.
+
+    The single-stream kernel's loop body is a serial MXU -> VPU -> MXU
+    chain (QK dot -> exp/max/sum -> PV dot); measured 4.36 ms at the SD
+    attn1 shape vs a ~2.8 ms MXU lane floor, i.e. the softmax VPU work
+    adds on top instead of overlapping. Splitting the q tile into two
+    INDEPENDENT halves gives Mosaic same-iteration freedom to run half
+    A's exp chain against half B's dots — no cross-iteration score carry
+    (the pipelined-carry variant measured 22% WORSE; PARITY 8k).
+
+    MEASURED NEUTRAL at [8,4096,8,40]: 6.78/6.75 ms (tq 1024/512) vs
+    6.96/6.82 single-stream, tq=256 11% worse — halving the dot M-dim
+    costs what the overlap buys. Ships default-OFF (PARITY 14)."""
+    q = q_ref[0]
+    t = k_ref.shape[1]
+    tq, d = q.shape
+    hq = tq // 2
+    q1, q2 = q[0:hq], q[hq:tq]
+    num_kb = t // tk
+
+    def body(kb, carry):
+        m1, l1, a1, m2, l2, a2 = carry
+        k = k_ref[0, pl.ds(kb * tk, tk), :]
+        v = v_ref[0, pl.ds(kb * tk, tk), :]
+
+        def stream(qh, m, l, acc):
+            s = jax.lax.dot_general(
+                qh, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+            p = jnp.exp(s - m_new)
+            alpha = jnp.exp(m - m_new)
+            l_new = l * alpha + jnp.sum(p, axis=1, keepdims=True)
+            acc_new = acc * alpha + jax.lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return m_new, l_new, acc_new
+
+        m1, l1, a1 = stream(q1, m1, l1, a1)
+        m2, l2, a2 = stream(q2, m2, l2, a2)
+        return m1, l1, a1, m2, l2, a2
+
+    init = (jnp.full((hq, 1), _NEG_INF, jnp.float32),
+            jnp.zeros((hq, 1), jnp.float32),
+            jnp.zeros((hq, d), jnp.float32)) * 2
+    m1, l1, a1, m2, l2, a2 = jax.lax.fori_loop(0, num_kb, body, init)
+    o_ref[0, 0:hq] = (a1 / l1).astype(o_ref.dtype)
+    o_ref[0, hq:tq] = (a2 / l2).astype(o_ref.dtype)
+
+
+# A/B probe flag: route flash_attention through the dual-stream kernel.
+_ATTN_DUAL = os.environ.get("DTTS_ATTN_DUAL", "") not in ("", "0")
+
+
 def _attention_reference(q, k, v):
     """jnp mirror of the kernel's numerics (fp32 scores softmax); VJP source
     for the differentiable wrapper — the Pallas kernel is forward-only."""
@@ -146,8 +202,10 @@ def _flash_attention_fwd_only(
 
     qf, kf, vf = to_bh(q), to_bh(k), to_bh(v)
     grid = (b * h, t // tq)
+    kern = _attn_kernel_dual if (_ATTN_DUAL and tq % 2 == 0
+                                 and tq // 2 >= 8) else _attn_kernel
     out = pl.pallas_call(
-        functools.partial(_attn_kernel, tk=tk, scale=scale),
+        functools.partial(kern, tk=tk, scale=scale),
         out_shape=jax.ShapeDtypeStruct((b * h, t, d), q.dtype),
         grid=grid,
         in_specs=[
