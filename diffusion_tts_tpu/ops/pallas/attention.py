@@ -32,38 +32,56 @@ def _fit_tile(t: int, want: int) -> int:
     return tile
 
 
+_LOG2E = 1.4426950408889634
+
+
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, tk: int, scale: float):
     # Matmul operands stay in the activation dtype: bf16 products are exact
     # in the MXU's fp32 accumulator (scale applied afterwards in fp32), and
     # the softmax weights are cast back for PV — the reference AttentionOp's
     # cast point (networks.py:122-124) — at ~4x the fp32 MXU rate.
+    #
+    # The softmax VPU chain is the kernel's wall at the SD attn1 shape
+    # (measured 4.36 ms vs a ~2.8 ms MXU lane floor, PARITY 8k), so the
+    # per-[TQ,TK]-element work is cut from the textbook five ops to three:
+    #  - the row-sum l rides the PV dot as a ones-column of V (one extra
+    #    output lane, 40->41 of the same 128-lane MXU tile: zero MXU cost;
+    #    l's recurrence l' = l*alpha + sum(p) IS acc's recurrence). The sum
+    #    is now of the bf16-cast p — the same rounding the PV numerator
+    #    already has, ~1e-4 relative on l vs the 4e-3 bf16 output rounding.
+    #  - exp(s*scale - m) becomes exp2(s*fma_scale - m2): the scale multiply
+    #    folds into exp2's argument FMA instead of a standalone [TQ,TK]
+    #    multiply (exp lowers through exp2 on the VPU anyway), and the
+    #    running max m tracks RAW scores (max commutes with the positive
+    #    scale).
     q = q_ref[0]  # [TQ, D]
     t = k_ref.shape[1]
     tq, d = q.shape
     num_kb = t // tk
+    s2 = scale * _LOG2E
 
     def body(kb, carry):
-        m, l, acc = carry
+        m, acc = carry  # m: raw-score running max [TQ,1]; acc [TQ, D+1]
         k = k_ref[0, pl.ds(kb * tk, tk), :]  # [TK, D]
         v = v_ref[0, pl.ds(kb * tk, tk), :]
+        v_aug = jnp.concatenate(
+            [v, jnp.ones((tk, 1), v.dtype)], axis=1)  # [TK, D+1]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale  # [TQ, TK] fp32
+        )  # [TQ, TK] fp32, raw (scale folded into the exp2 args below)
         m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m - m_new)
-        l_new = l * alpha + jnp.sum(p, axis=1, keepdims=True)
+        p = jnp.exp2(s * s2 - m_new * s2)
+        alpha = jnp.exp2((m - m_new) * s2)
         acc_new = acc * alpha + jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            p.astype(v.dtype), v_aug, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        return m_new, l_new, acc_new
+        return m_new, acc_new
 
     m0 = jnp.full((tq, 1), _NEG_INF, jnp.float32)
-    l0 = jnp.zeros((tq, 1), jnp.float32)
-    acc0 = jnp.zeros((tq, d), jnp.float32)
-    m, l, acc = jax.lax.fori_loop(0, num_kb, body, (m0, l0, acc0))
-    o_ref[0] = (acc / l).astype(o_ref.dtype)
+    acc0 = jnp.zeros((tq, d + 1), jnp.float32)
+    m, acc = jax.lax.fori_loop(0, num_kb, body, (m0, acc0))
+    o_ref[0] = (acc[:, 0:d] / acc[:, d:d + 1]).astype(o_ref.dtype)
 
 
 def _attn_kernel_dual(q_ref, k_ref, v_ref, o_ref, *, tk: int, scale: float):
@@ -237,25 +255,33 @@ def _qkv_attn_kernel(qkv_ref, o_ref, *, heads: int, tq: int, scale: float):
     c3 = qkv_ref.shape[2]
     c = c3 // 3
     d = c // heads
+    t = qkv_ref.shape[1]
+    ones = jnp.ones((t, 1), jnp.float32)
     for h in range(heads):
         # fp32 operands: the kernel runs at ~95% of the fp32(x3-pass)
         # matmul roof and is bound by the 64-lane head slicing, not the
         # MXU — both an all-bf16 variant (592 -> 583 NFE/s) and a
         # bf16-QK^T-only variant (603.7 -> 601.9) measured no better on
         # the flagship bench, so the numerically-simplest form stays.
+        # Softmax-VPU cuts (same as _attn_kernel): scale*log2e folds into
+        # the q pre-multiply so p = exp2(s - m) with no per-[TQ,T]-element
+        # multiply inside exp's lowering, and the row-sum l rides the PV
+        # dot as a ones column of V (d -> d+1 lanes of the same tile).
         q = qkv_ref[0, pl.ds(iq * tq, tq), h * d:(h + 1) * d].astype(jnp.float32)
         k = qkv_ref[0, :, c + h * d:c + (h + 1) * d].astype(jnp.float32)
         v = qkv_ref[0, :, 2 * c + h * d:2 * c + (h + 1) * d].astype(jnp.float32)
+        v_aug = jnp.concatenate([v, ones], axis=1)  # [T, D+1]
         s = jax.lax.dot_general(
-            q * scale, k, (((1,), (1,)), ((), ())),
+            q * (scale * _LOG2E), k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # [TQ, T]
+        )  # [TQ, T], log2e-scaled: exp2-normalization == softmax
         m = jnp.max(s, axis=1, keepdims=True)
-        p = jnp.exp(s - m)
-        l = jnp.sum(p, axis=1, keepdims=True)
-        o = jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        ) / l
+        p = jnp.exp2(s - m)
+        o_aug = jax.lax.dot_general(
+            p, v_aug, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o = o_aug[:, 0:d] / o_aug[:, d:d + 1]
         o_ref[0, :, h * d:(h + 1) * d] = o.astype(o_ref.dtype)
 
 
@@ -284,8 +310,11 @@ def _qkv_attn_pair_kernel(qkv_ref, o_ref, *, heads: int, tq: int,
     c3 = qkv_ref.shape[2]
     c = c3 // 3
     d = c // heads
+    t = qkv_ref.shape[1]
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * d), 1)
     mask_a = (lane < d).astype(qkv_ref.dtype)
+    ones = jnp.ones((t, 1), qkv_ref.dtype)
+    s2c = scale * _LOG2E  # exp(x*scale) == exp2(x*s2c); max commutes
     for p in range(heads // 2):
         lo = p * 2 * d
         q2 = qkv_ref[0, pl.ds(iq * tq, tq), lo:lo + 2 * d]
@@ -295,23 +324,29 @@ def _qkv_attn_pair_kernel(qkv_ref, o_ref, *, heads: int, tq: int,
         kb = k2 - ka
         va = v2 * mask_a
         vb = v2 - va
+        # the row-sums la/lb ride the PV dots as a ones column (lane
+        # 2d+1 of the same 128-lane tile); scale folds into exp2's FMA —
+        # the same softmax-VPU cuts as _attn_kernel (sums are of the
+        # pv_dtype-cast weights, the rounding PV already has)
+        va_aug = jnp.concatenate([va, ones], axis=1)
+        vb_aug = jnp.concatenate([vb, ones], axis=1)
         sa = jax.lax.dot_general(
             q2, ka, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
+            preferred_element_type=jnp.float32)
         sb = jax.lax.dot_general(
             q2, kb, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
-        pa = jnp.exp(sa - jnp.max(sa, axis=1, keepdims=True))
-        pb = jnp.exp(sb - jnp.max(sb, axis=1, keepdims=True))
-        la = jnp.sum(pa, axis=1, keepdims=True)
-        lb = jnp.sum(pb, axis=1, keepdims=True)
+            preferred_element_type=jnp.float32)
+        pa = jnp.exp2(sa * s2c - jnp.max(sa, axis=1, keepdims=True) * s2c)
+        pb = jnp.exp2(sb * s2c - jnp.max(sb, axis=1, keepdims=True) * s2c)
         oa = jax.lax.dot_general(
-            pa.astype(pv_dtype), va, (((1,), (0,)), ((), ())),
+            pa.astype(pv_dtype), va_aug, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         ob = jax.lax.dot_general(
-            pb.astype(pv_dtype), vb, (((1,), (0,)), ((), ())),
+            pb.astype(pv_dtype), vb_aug, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        o_ref[0, :, lo:lo + 2 * d] = (oa / la + ob / lb).astype(o_ref.dtype)
+        o2 = (oa[:, 0:2 * d] / oa[:, 2 * d:2 * d + 1]
+              + ob[:, 0:2 * d] / ob[:, 2 * d:2 * d + 1])
+        o_ref[0, :, lo:lo + 2 * d] = o2.astype(o_ref.dtype)
     if heads % 2:
         # odd head count (e.g. 192-ch levels, 3 heads): last head takes the
         # single-head fp32 path — one 64-lane slice instead of all of them.
@@ -319,15 +354,16 @@ def _qkv_attn_pair_kernel(qkv_ref, o_ref, *, heads: int, tq: int,
         q = qkv_ref[0, pl.ds(iq * tq, tq), h * d:(h + 1) * d].astype(jnp.float32)
         k = qkv_ref[0, :, c + h * d:c + (h + 1) * d].astype(jnp.float32)
         v = qkv_ref[0, :, 2 * c + h * d:2 * c + (h + 1) * d].astype(jnp.float32)
+        v_aug = jnp.concatenate([v, jnp.ones((t, 1), jnp.float32)], axis=1)
         s = jax.lax.dot_general(
-            q * scale, k, (((1,), (1,)), ((), ())),
+            q * s2c, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
         m = jnp.max(s, axis=1, keepdims=True)
-        pp = jnp.exp(s - m)
-        l = jnp.sum(pp, axis=1, keepdims=True)
-        o = jax.lax.dot_general(
-            pp, v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) / l
+        pp = jnp.exp2(s - m)
+        o_aug = jax.lax.dot_general(
+            pp, v_aug, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        o = o_aug[:, 0:d] / o_aug[:, d:d + 1]
         o_ref[0, :, h * d:(h + 1) * d] = o.astype(o_ref.dtype)
 
 

@@ -72,6 +72,66 @@ def _geglu_kernel(x_ref, w0_ref, b0_ref, w2_ref, b2_ref, o_ref, *, f: int):
     o_ref[...] = out.astype(o_ref.dtype)
 
 
+def _geglu_stream_kernel(x_ref, w0h_ref, b0h_ref, w0g_ref, b0g_ref,
+                         w2_ref, b2_ref, o_ref, acc_ref, *, nj: int):
+    """F-streamed FF: grid (m//tm, F//tf) with the f-tile j innermost.
+    The 16²/8² SD blocks' weights (c=1280, F=5120: 39 MB bf16) can never
+    be VMEM-resident, so this form streams F — per (i, j) step it
+    computes the j-th column tile of q = x@w0+b0 (FULL c contraction, so
+    the nn.Dense rounding point is elementwise-identical to the resident
+    kernel), gates it, and accumulates the partial out-projection
+    g_j @ w2[jf:(j+1)f] into an fp32 VMEM scratch; the [M, 2F]
+    intermediate still never exists in HBM. x's block index ignores j so
+    Mosaic fetches each row tile once per sweep; weights are re-fetched
+    per m-tile (m/tm sweeps), which at the SD shapes is ~160 MB/call —
+    0.2 ms of HBM against a 0.41 ms MXU floor, i.e. still compute-bound."""
+    j = pl.program_id(1)
+    x = x_ref[...]
+    h = jnp.dot(x, w0h_ref[...], preferred_element_type=jnp.float32) \
+        + b0h_ref[0].astype(jnp.float32)
+    gate = jnp.dot(x, w0g_ref[...], preferred_element_type=jnp.float32) \
+        + b0g_ref[0].astype(jnp.float32)
+    # nn.Dense output rounding (same point as the resident kernel's
+    # q.astype(x.dtype) — the bias-added projection, before the gate math)
+    h = h.astype(x.dtype).astype(jnp.float32)
+    gate = gate.astype(x.dtype).astype(jnp.float32)
+    g = (h * _gelu_exact(gate)).astype(x.dtype)
+    part = jnp.dot(g, w2_ref[...], preferred_element_type=jnp.float32)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[...] = part
+
+    @pl.when(j > 0)
+    def _acc():
+        acc_ref[...] += part
+
+    @pl.when(j == nj - 1)
+    def _emit():
+        o_ref[...] = (acc_ref[...]
+                      + b2_ref[0].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+def _pick_stream_tiles(m: int, c: int, f: int, itemsize: int):
+    """(tm, tf) for the streaming form, or None. Budget accounting:
+    x tile double-buffered + fp32 accumulator + 3 weight tiles
+    double-buffered + the h/gate/g/part temporaries."""
+    def est(tm, tf):
+        return (2 * tm * c * itemsize        # x double-buffered
+                + tm * c * 4                 # fp32 accumulator scratch
+                + 6 * tf * c * itemsize      # w0h/w0g/w2 tiles, dbl-buffered
+                + 2 * tm * tf * 4            # h/gate fp32
+                + tm * tf * itemsize         # g
+                + tm * c * 4)                # part fp32
+    for tm in (256, 128, 512, 64, 32, 16, 8):
+        if m % tm:
+            continue
+        for tf in (512, 640, 256, 1024, 128):
+            if f % tf == 0 and est(tm, tf) <= _VMEM_BUDGET:
+                return tm, tf
+    return None
+
+
 def _geglu_reference(x2, w0, b0, w2, b2):
     """jnp mirror of the kernel's numerics; VJP source and test oracle.
     Identical math to nn.Dense(proj) -> split -> h*gelu_exact(gate) ->
@@ -107,6 +167,44 @@ def _geglu_fwd_only(x2, w0, b0, w2, b2, *, interpret: bool = False):
     m, c = x2.shape
     f = w2.shape[0]
     tm = _pick_tm(m, c, f, x2.dtype.itemsize)
+    if not tm:
+        tm, tf = _pick_stream_tiles(m, c, f, x2.dtype.itemsize)
+        nj = f // tf
+        return pl.pallas_call(
+            functools.partial(_geglu_stream_kernel, nj=nj),
+            out_shape=jax.ShapeDtypeStruct((m, c), x2.dtype),
+            grid=(m // tm, nj),
+            in_specs=[
+                pl.BlockSpec((tm, c), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((c, tf), lambda i, j: (0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tf), lambda i, j: (0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((c, tf), lambda i, j: (0, j + nj),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tf), lambda i, j: (0, j + nj),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tf, c), lambda i, j: (j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, c), lambda i, j: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((tm, c), lambda i, j: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((tm, c), jnp.float32)],
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=int(1.5 * _VMEM_BUDGET) + 2**20,
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=6 * m * c * f,
+                bytes_accessed=(2 * m * c * x2.dtype.itemsize
+                                + (m // tm) * 3 * c * f * x2.dtype.itemsize),
+                transcendentals=m * f,
+            ),
+        )(x2, w0, b0.reshape(1, 2 * f), w0, b0.reshape(1, 2 * f),
+          w2, b2.reshape(1, c))
     return pl.pallas_call(
         functools.partial(_geglu_kernel, f=f),
         out_shape=jax.ShapeDtypeStruct((m, c), x2.dtype),
@@ -163,15 +261,23 @@ def geglu_ff(x, w0, b0, w2, b2, *, interpret: bool = False):
 
 def geglu_ff_eligible(m: int, c: int, f: int, dtype) -> bool:
     """TPU only; F lane-tile aligned (the h|gate split slices q at lane
-    offset F); a viable M-tile must exist under the VMEM budget with both
-    weight matrices resident. Kill-switch DTTS_NO_PALLAS_FF."""
+    offset F); a viable tiling must exist under the VMEM budget — either
+    both weight matrices resident (the 64²/32² SD blocks) or the
+    F-streamed form (16²/8², where the 39 MB of c=1280 weights can never
+    be resident; DTTS_NO_STREAM_FF disables just that form for A/B).
+    Kill-switch DTTS_NO_PALLAS_FF."""
     if _NO_PALLAS_FF:
         return False
     if jax.default_backend() not in ("tpu", "axon"):
         return False
     if f % 128 or c % 8:
         return False
-    return _pick_tm(m, c, f, jnp.dtype(dtype).itemsize) >= 8
+    itemsize = jnp.dtype(dtype).itemsize
+    if _pick_tm(m, c, f, itemsize) >= 8:
+        return True
+    if os.environ.get("DTTS_NO_STREAM_FF"):
+        return False
+    return c % 128 == 0 and _pick_stream_tiles(m, c, f, itemsize) is not None
 
 
 __all__ = ["geglu_ff", "geglu_ff_eligible"]

@@ -39,6 +39,27 @@ def test_geglu_ff_matches_reference(dtype, m, c, f):
         atol=tol, rtol=tol)
 
 
+def test_geglu_ff_stream_matches_reference(monkeypatch):
+    """The F-streamed form (used when the weights exceed the VMEM budget —
+    the 16²/8² SD blocks) == the jnp mirror. Forced here by shrinking the
+    budget so the resident form is ineligible at a small shape."""
+    import diffusion_tts_tpu.ops.pallas.geglu_ff as G
+
+    monkeypatch.setattr(G, "_VMEM_BUDGET", 2 * 2**20)
+    m, c, f = 64, 256, 1024
+    x = _rand((m, c), jnp.float32, 20)
+    w0 = _rand((c, 2 * f), jnp.float32, 21) * 0.05
+    b0 = _rand((2 * f,), jnp.float32, 22)
+    w2 = _rand((f, c), jnp.float32, 23) * 0.05
+    b2 = _rand((c,), jnp.float32, 24)
+    assert G._pick_tm(m, c, f, 4) == 0          # resident form ineligible
+    assert G._pick_stream_tiles(m, c, f, 4)     # streaming tiles exist
+    got = G._geglu_fwd_only(x, w0, b0, w2, b2, interpret=True)
+    want = _geglu_reference(x, w0, b0, w2, b2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-4, rtol=1e-4)
+
+
 def test_geglu_reference_matches_unfused_ff():
     """The jnp mirror == the original unfused formulation (nn.Dense ->
     split -> h*gelu_exact(gate) -> nn.Dense) at matching dtypes."""
