@@ -191,6 +191,7 @@ def flash_attention(
     small as 1, a pathologically slow kernel. Such shapes fall back to the
     XLA reference attention with a warning instead."""
     t = q.shape[1]
+    d = q.shape[3]
     fitted = min(_fit_tile(t, tq), _fit_tile(t, tk))
     if fitted < 128 and fitted < t:
         import warnings
@@ -199,6 +200,24 @@ def flash_attention(
             f"flash_attention: sequence length {t} only tiles at {fitted} "
             "(< 128); falling back to XLA attention", stacklevel=2)
         return _attention_reference(q, k, v)
+    # Shrink the q tile until the kernel's VMEM footprint fits: resident
+    # K/V + double-buffered q/out tiles + the fp32 score block, its cast
+    # copy, and the fp32 accumulator. Matters for wide single heads (the
+    # VAE mid-block's [4096, 512]): at tq=1024 the score block alone is
+    # 16 MB; tq=256 brings the kernel under the scoped VMEM limit.
+    item = q.dtype.itemsize
+    tk = _fit_tile(t, tk)
+
+    def vmem(tq_):
+        return (2 * t * d * item              # K/V resident
+                + 4 * tq_ * d * item          # q/out tiles double-buffered
+                + tq_ * tk * 4                # s fp32
+                + tq_ * tk * item             # p cast
+                + tq_ * (d + 1) * 4)          # acc fp32
+
+    tq = _fit_tile(t, tq)
+    while tq > 128 and vmem(tq) > 14 * 2**20:
+        tq = _fit_tile(t, tq // 2)
     return _flash_diff(q, k, v, tq, tk, interpret)
 
 
@@ -313,7 +332,6 @@ def _qkv_attn_pair_kernel(qkv_ref, o_ref, *, heads: int, tq: int,
     t = qkv_ref.shape[1]
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * d), 1)
     mask_a = (lane < d).astype(qkv_ref.dtype)
-    ones = jnp.ones((t, 1), qkv_ref.dtype)
     s2c = scale * _LOG2E  # exp(x*scale) == exp2(x*s2c); max commutes
     for p in range(heads // 2):
         lo = p * 2 * d
@@ -324,12 +342,13 @@ def _qkv_attn_pair_kernel(qkv_ref, o_ref, *, heads: int, tq: int,
         kb = k2 - ka
         va = v2 * mask_a
         vb = v2 - va
-        # the row-sums la/lb ride the PV dots as a ones column (lane
-        # 2d+1 of the same 128-lane tile); scale folds into exp2's FMA —
-        # the same softmax-VPU cuts as _attn_kernel (sums are of the
-        # pv_dtype-cast weights, the rounding PV already has)
-        va_aug = jnp.concatenate([va, ones], axis=1)
-        vb_aug = jnp.concatenate([vb, ones], axis=1)
+        # scale folds into exp2's FMA (exp(x*scale) == exp2(x*s2c), max
+        # commutes with the positive scale). NO ones-column here, unlike
+        # _attn_kernel: the pair block is already a full 128-lane tile
+        # (2d = 128), so augmenting to 129 lanes would add a SECOND MXU
+        # tile column to each PV dot — measured 602.8 -> 588.0 NFE/s on
+        # the flagship bench (+50% pair-PV MXU time), reverted. The trick
+        # is only free when d+1 stays inside the existing lane tile.
         sa = jax.lax.dot_general(
             q2, ka, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -338,15 +357,15 @@ def _qkv_attn_pair_kernel(qkv_ref, o_ref, *, heads: int, tq: int,
             preferred_element_type=jnp.float32)
         pa = jnp.exp2(sa * s2c - jnp.max(sa, axis=1, keepdims=True) * s2c)
         pb = jnp.exp2(sb * s2c - jnp.max(sb, axis=1, keepdims=True) * s2c)
+        la = jnp.sum(pa, axis=1, keepdims=True)
+        lb = jnp.sum(pb, axis=1, keepdims=True)
         oa = jax.lax.dot_general(
-            pa.astype(pv_dtype), va_aug, (((1,), (0,)), ((), ())),
+            pa.astype(pv_dtype), va, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         ob = jax.lax.dot_general(
-            pb.astype(pv_dtype), vb_aug, (((1,), (0,)), ((), ())),
+            pb.astype(pv_dtype), vb, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        o2 = (oa[:, 0:2 * d] / oa[:, 2 * d:2 * d + 1]
-              + ob[:, 0:2 * d] / ob[:, 2 * d:2 * d + 1])
-        o_ref[0, :, lo:lo + 2 * d] = o2.astype(o_ref.dtype)
+        o_ref[0, :, lo:lo + 2 * d] = (oa / la + ob / lb).astype(o_ref.dtype)
     if heads % 2:
         # odd head count (e.g. 192-ch levels, 3 heads): last head takes the
         # single-head fp32 path — one 64-lane slice instead of all of them.
