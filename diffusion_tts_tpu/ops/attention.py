@@ -44,14 +44,20 @@ def _pallas_eligible(q: jax.Array) -> bool:
     # Pallas pays off once the score matrix stops fitting in registers/VMEM
     # comfortably; tiny feature maps are faster through plain XLA fusion.
     # Upper bound: the kernel keeps one head's FULL K/V resident in VMEM
-    # (ops/pallas/attention.py BlockSpecs), so t*d past ~1M elements must
-    # take the XLA path. The VAE mid-block's [4096, 512] single head sits
-    # there: resident K/V needs 20 MB (> the 16 MB scoped vmem), and a
-    # probed K-streaming grid variant (third grid dim + scratch-carried
-    # online softmax, 512-tiles) measured 89 ms vs XLA's 5-9 ms at
-    # [4, 4096, 1, 512] bf16 — XLA's batched pipeline wins outright at
-    # single-head D=512, so that variant was removed rather than shipped.
-    return t >= 1024 and d % 8 == 0 and t * d < 2**21
+    # (ops/pallas/attention.py BlockSpecs), so the residency is dtype-
+    # bounded. History of the VAE mid-block's [4096, 512] single head:
+    # at fp32 residency K/V needs ~17 MB (> the scoped vmem) and a probed
+    # K-STREAMING grid variant (third grid dim + scratch-carried online
+    # softmax, 512-tiles) measured 89 ms vs XLA's 5-9 ms at
+    # [4, 4096, 1, 512] — removed (round-4 note 8j). In bf16 however the
+    # PLAIN kernel's K/V is 8 MB and fits: with the VMEM-aware q-tile
+    # shrink (flash_attention) it measures 3.29 ms vs XLA's 4.75 at that
+    # shape (tools/vae_attn_probe.py, 1.44x), so <=2-byte dtypes admit
+    # t*d up to 2^21 inclusive; fp32 keeps the old < 2^21 element bound.
+    if t < 1024 or d % 8:
+        return False
+    lim = 2**21 if q.dtype.itemsize > 2 else 2**21 + 1
+    return t * d < lim
 
 
 def fused_qkv_self_attention(
