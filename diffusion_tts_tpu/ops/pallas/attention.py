@@ -84,74 +84,17 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, tk: int, scale: float):
     o_ref[0] = (acc[:, 0:d] / acc[:, d:d + 1]).astype(o_ref.dtype)
 
 
-def _attn_kernel_bthd(q_ref, k_ref, v_ref, o_ref, *, tk: int, scale: float):
-    """_attn_kernel on [B, T, H, D]-native blocks: the head axis is sliced
-    by the GRID (block shape (1, tq, 1, d), grid (b, h, t/tq)) instead of
-    a [B,T,H,D]->[B,H,T,D] transpose in XLA — the four 21 MB relayouts
-    around every SD attn1 call (0.34 ms of the 4.7 ms op) never exist.
-    The DMA reads strided rows (D contiguous bytes every H*D), which
-    Mosaic's grid pipelining hides behind the previous tile's compute.
-    Same math as _attn_kernel (ones-column l, exp2 FMA, raw-score max)."""
-    q = q_ref[0, :, 0, :]  # [TQ, D]
-    t = k_ref.shape[1]
-    tq, d = q.shape
-    num_kb = t // tk
-    s2 = scale * _LOG2E
-
-    def body(kb, carry):
-        m, acc = carry
-        k = k_ref[0, pl.ds(kb * tk, tk), 0, :]  # [TK, D]
-        v = v_ref[0, pl.ds(kb * tk, tk), 0, :]
-        v_aug = jnp.concatenate(
-            [v, jnp.ones((tk, 1), v.dtype)], axis=1)
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
-        p = jnp.exp2(s * s2 - m_new * s2)
-        alpha = jnp.exp2((m - m_new) * s2)
-        acc_new = acc * alpha + jax.lax.dot_general(
-            p.astype(v.dtype), v_aug, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        return m_new, acc_new
-
-    m0 = jnp.full((tq, 1), _NEG_INF, jnp.float32)
-    acc0 = jnp.zeros((tq, d + 1), jnp.float32)
-    m, acc = jax.lax.fori_loop(0, num_kb, body, (m0, acc0))
-    o_ref[0, :, 0, :] = (acc[:, 0:d] / acc[:, d:d + 1]).astype(o_ref.dtype)
-
-
-@functools.partial(jax.jit, static_argnames=("tq", "tk", "interpret"))
-def _flash_attention_fwd_bthd(
-    q: jax.Array, k: jax.Array, v: jax.Array, *, tq: int = 1024, tk: int = 1024,
-    interpret: bool = False,
-) -> jax.Array:
-    """Transpose-free forward: grid (B, H, T/TQ), head sliced by BlockSpec."""
-    b, t, h, d = q.shape
-    tq = _fit_tile(t, tq)
-    tk = _fit_tile(t, tk)
-    scale = 1.0 / (d**0.5)
-    return pl.pallas_call(
-        functools.partial(_attn_kernel_bthd, tk=tk, scale=scale),
-        out_shape=jax.ShapeDtypeStruct((b, t, h, d), q.dtype),
-        grid=(b, h, t // tq),
-        in_specs=[
-            pl.BlockSpec((1, tq, 1, d), lambda bi, hi, iq: (bi, iq, hi, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t, 1, d), lambda bi, hi, iq: (bi, 0, hi, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t, 1, d), lambda bi, hi, iq: (bi, 0, hi, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, tq, 1, d), lambda bi, hi, iq: (bi, iq, hi, 0),
-                               memory_space=pltpu.VMEM),
-        interpret=interpret,
-        cost_estimate=pl.CostEstimate(
-            flops=4 * b * h * t * t * d, bytes_accessed=3 * b * h * t * d * 4,
-            transcendentals=b * h * t * t,
-        ),
-    )(q, k, v)
+# NEGATIVE (round 4): a transpose-free [B,T,H,D]-native forward — head
+# axis sliced by the grid (block (1, tq, 1, d), grid (b, h, t/tq)) to kill
+# the four 21 MB [B,T,H,D]<->[B,H,T,D] relayouts around every SD attn1
+# call — CANNOT lower on TPU: Mosaic requires the last two block dims be
+# (8, 128)-divisible or span the full array dim, and the sliced head axis
+# is a size-1 block in the sublane position for any H > 1 (error at
+# [8,4096,8,40]: "last two dimensions of your block shape are divisible").
+# The only shape where the relayout is material is exactly that multi-head
+# attn1; the VAE mid-block has H=1 where the transpose is already a free
+# reshape. Kernel removed; tools/attn_bench.py kept the probe rows'
+# history in git (commit 3d6bfa3 added it probe-only).
 
 
 def _attn_kernel_dual(q_ref, k_ref, v_ref, o_ref, *, tk: int, scale: float):

@@ -34,26 +34,6 @@ def test_flash_attention_matches_xla(shape, dtype):
     )
 
 
-@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
-def test_flash_attention_bthd_matches_xla(dtype):
-    """The transpose-free [B,T,H,D]-native forward (head sliced by the
-    grid instead of a relayout) == the XLA reference."""
-    from diffusion_tts_tpu.ops.pallas.attention import _flash_attention_fwd_bthd
-
-    shape = (1, 256, 2, 8)
-    key = jax.random.key(3)
-    kq, kk, kv = jax.random.split(key, 3)
-    q = jax.random.normal(kq, shape, dtype)
-    k = jax.random.normal(kk, shape, dtype)
-    v = jax.random.normal(kv, shape, dtype)
-    ref = _xla_attention(q, k, v)
-    out = _flash_attention_fwd_bthd(q, k, v, tq=128, tk=128, interpret=True)
-    tol = 2e-6 if dtype == jnp.float32 else 2e-2
-    np.testing.assert_allclose(
-        np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=tol, rtol=tol
-    )
-
-
 @pytest.mark.parametrize("dtype,t,heads,d", [
     (jnp.float32, 512, 2, 64),   # multi-tile q (tq=256 -> 2 q-tiles)
     (jnp.bfloat16, 64, 3, 64),   # odd heads: pair kernel + leftover head

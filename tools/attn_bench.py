@@ -60,8 +60,6 @@ def main():
             best = min(best, time.perf_counter() - t0)
         return best / args.inner
 
-    from diffusion_tts_tpu.ops.pallas.attention import _flash_attention_fwd_bthd
-
     rows = []
     for name, fn in [
         ("xla", _xla_attention),
@@ -69,10 +67,6 @@ def main():
         ("flash_1024_1024", lambda q, k, v: flash_attention(q, k, v, tq=1024, tk=1024)),
         ("flash_256_1024", lambda q, k, v: flash_attention(q, k, v, tq=256, tk=1024)),
         ("flash_512_1024", lambda q, k, v: flash_attention(q, k, v, tq=512, tk=1024)),
-        ("bthd_1024_1024",
-         lambda q, k, v: _flash_attention_fwd_bthd(q, k, v, tq=1024, tk=1024)),
-        ("bthd_512_1024",
-         lambda q, k, v: _flash_attention_fwd_bthd(q, k, v, tq=512, tk=1024)),
     ]:
         try:
             dt = timeit(fn)
