@@ -139,6 +139,12 @@ def _conv3_kernel(body_ref, top_ref, bot_ref, w2_ref, *rest,
 
 
 _VMEM_BUDGET = int(os.environ.get("DTTS_CONV_VMEM_MB", "12")) * 2**20
+
+# up2 kernel: retile [.., W, 2K] -> [.., 2W, K] in VMEM and store the
+# target [B, 2H, 2W, K] layout directly (skips the caller-side XLA
+# relayout, a full HBM round trip). A/B flag: DTTS_UP2_DIRECT=0 reverts
+# to the packed-layout store + external reshape.
+_UP2_DIRECT = os.environ.get("DTTS_UP2_DIRECT", "1") != "0"
 # Diagnostics only (WRONG numerics): "aligned" replaces the shifted tap
 # copies with aligned ones (isolates the sublane-shift penalty); "nocopy"
 # skips 8 of 9 tap writes (isolates copy volume vs MXU time).
@@ -590,7 +596,7 @@ def pallas_conv3_eligible(x, kernel) -> bool:
 
 def _conv3_up2_kernel(body_ref, top_ref, bot_ref, wa_ref, wb_ref, *rest,
                       th: int, tc: int, w: int, c: int, kout: int,
-                      has_bias: bool, precision):
+                      has_bias: bool, precision, direct: bool = False):
     refs = list(rest)
     bias_ref = refs.pop(0) if has_bias else None
     y_ref, xs, lbuf0, lbuf1 = refs
@@ -639,8 +645,21 @@ def _conv3_up2_kernel(body_ref, top_ref, bot_ref, wa_ref, wb_ref, *rest,
             yb = yb + bb
         ya = ya.reshape(tc, wp, 2 * k)[:, 0:w, :]
         yb = yb.reshape(tc, wp, 2 * k)[:, 0:w, :]
-        y_ref[0, r0:r0 + tc, 0] = ya.astype(y_ref.dtype)
-        y_ref[0, r0:r0 + tc, 1] = yb.astype(y_ref.dtype)
+        if not direct:
+            y_ref[0, r0:r0 + tc, 0] = ya.astype(y_ref.dtype)
+            y_ref[0, r0:r0 + tc, 1] = yb.astype(y_ref.dtype)
+        else:
+            # Direct [B, 2H, 2W, K] store: the caller-side reshape of the
+            # packed [.., W, 2K] layout to [.., 2W, K] is a lane->sublane
+            # retile XLA executes as a full HBM round trip (1.65 ms at the
+            # up_blocks_2 shape); here the same retile runs on the VMEM
+            # tile (cast to the output dtype first — half the bytes) and
+            # the row phases interleave via static strided stores.
+            ya_t = ya.astype(y_ref.dtype).reshape(tc, 2 * w, k)
+            yb_t = yb.astype(y_ref.dtype).reshape(tc, 2 * w, k)
+            for s in range(tc):
+                y_ref[0, 2 * (r0 + s)] = ya_t[s]
+                y_ref[0, 2 * (r0 + s) + 1] = yb_t[s]
 
 
 def _pick_tiles_up2(h: int, w: int, c: int, kout: int, itemsize: int,
@@ -673,8 +692,9 @@ def _up2_reference(x, kernel, bias=None):
     return nn_upsample2x_conv3x3(x, kernel, bias)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _conv3_up2_fwd_only(x, kernel, bias=None, *, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("interpret", "direct"))
+def _conv3_up2_fwd_only(x, kernel, bias=None, *, interpret: bool = False,
+                        direct: bool = _UP2_DIRECT):
     b, h, w, c = x.shape
     kout = kernel.shape[-1]
     th, tc = _pick_tiles_up2(h, w, c, kout, x.dtype.itemsize)
@@ -712,7 +732,7 @@ def _conv3_up2_fwd_only(x, kernel, bias=None, *, interpret: bool = False):
 
     kern = functools.partial(
         _conv3_up2_kernel, th=th, tc=tc, w=w, c=c, kout=kout,
-        has_bias=bias is not None,
+        has_bias=bias is not None, direct=direct,
         # DEFAULT precision: fp32 operands get the MXU's bf16-product
         # rounding, the same contract as XLA's own default conv lowering
         # (measured ~2e-3 relative vs the jnp reference at 2C=512 depth;
@@ -725,16 +745,27 @@ def _conv3_up2_fwd_only(x, kernel, bias=None, *, interpret: bool = False):
         pltpu.VMEM((tc * (w + _WPAD), 3 * c), x.dtype),    # lbuf slot 0
         pltpu.VMEM((tc * (w + _WPAD), 3 * c), x.dtype),    # lbuf slot 1
     ]
+    if direct:
+        # The kernel retiles [.., W, 2K] -> [.., 2W, K] in VMEM and stores
+        # the target layout; no caller-side relayout at all.
+        out_shape = jax.ShapeDtypeStruct((b, 2 * h, 2 * w, kout), x.dtype)
+        out_spec = pl.BlockSpec((1, 2 * th, 2 * w, kout),
+                                lambda bi, i: (bi, i, 0, 0),
+                                memory_space=pltpu.VMEM)
+    else:
+        # [B, H, 2, W, 2K]: row-major-identical to [B, 2H, 2W, K] — the
+        # final reshape is a pure relayout, never an interleave (but still
+        # an HBM round trip; see `direct`).
+        out_shape = jax.ShapeDtypeStruct((b, h, 2, w, 2 * kout), x.dtype)
+        out_spec = pl.BlockSpec((1, th, 2, w, 2 * kout),
+                                lambda bi, i: (bi, i, 0, 0, 0),
+                                memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kern,
-        # [B, H, 2, W, 2K]: row-major-identical to [B, 2H, 2W, K] — the
-        # final reshape is a relayout, never an interleave.
-        out_shape=jax.ShapeDtypeStruct((b, h, 2, w, 2 * kout), x.dtype),
+        out_shape=out_shape,
         grid=(b, h // th),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, th, 2, w, 2 * kout),
-                               lambda bi, i: (bi, i, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=out_spec,
         scratch_shapes=scratch,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
@@ -747,6 +778,8 @@ def _conv3_up2_fwd_only(x, kernel, bias=None, *, interpret: bool = False):
             transcendentals=0,
         ),
     )(*args)
+    if direct:
+        return out
     return out.reshape(b, 2 * h, 2 * w, kout)
 
 
