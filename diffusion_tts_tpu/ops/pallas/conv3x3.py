@@ -818,16 +818,18 @@ def conv3x3_up2(x, kernel, bias=None, *, interpret: bool = False):
 
 
 _NO_PALLAS_UPCONV = bool(os.environ.get("DTTS_NO_PALLAS_UPCONV"))
-_UP2_MIN_SPATIAL = int(os.environ.get("DTTS_UPCONV_MIN_SPATIAL", "96"))
+_UP2_MIN_SPATIAL = int(os.environ.get("DTTS_UPCONV_MIN_SPATIAL", "64"))
 
 
 def pallas_up2_eligible(x, kernel) -> bool:
     """TPU only; lane-aligned channels; W sublane-tile aligned; SOURCE
-    spatial >= DTTS_UPCONV_MIN_SPATIAL (default 96: hardware A/B at the SD
-    VAE upsampler shapes, B=4 bf16 — 128sq x512: 6.82 ms pallas vs 13.76
-    XLA (2.0x), 256sq x256: 7.58 vs 20.91 (2.8x), 64sq x512: 4.89 vs 4.50
-    (XLA keeps it) — so the 64sq-source upsampler and the SD UNet's
-    tiny-latent upsamplers stay on XLA).
+    spatial >= DTTS_UPCONV_MIN_SPATIAL (default 64). Hardware A/B at the
+    SD VAE upsampler shapes, B=4 bf16: with the packed-layout store the
+    64sq-source upsampler lost (4.89 ms pallas vs 4.50 XLA, gate was 96);
+    the direct-store retile (PARITY 8p) flips it — 64sq x512: 2.58 vs
+    3.07 XLA (1.19x), 128sq x512: 6.10 vs 13.8 (2.3x), 256sq x256: 5.82
+    vs 20.9 (3.6x). The SD UNet's tiny-latent upsamplers (<=32sq source)
+    stay on XLA.
     Kill-switches: DTTS_NO_PALLAS_UPCONV (this kernel only) and
     DTTS_NO_PALLAS_CONV (every conv kernel in this module)."""
     if _NO_PALLAS_UPCONV or _NO_PALLAS_CONV:
