@@ -829,7 +829,10 @@ def pallas_up2_eligible(x, kernel) -> bool:
     the direct-store retile (PARITY 8p) flips it — 64sq x512: 2.58 vs
     3.07 XLA (1.19x), 128sq x512: 6.10 vs 13.8 (2.3x), 256sq x256: 5.82
     vs 20.9 (3.6x). The SD UNet's tiny-latent upsamplers (<=32sq source)
-    stay on XLA.
+    stay on XLA — measured with direct-store at lookahead batch 8:
+    32sq x640: 2.41 pallas vs 2.13 XLA, 16sq x1280: 4.22 vs 2.61 (the
+    row-band grid degenerates at th<=8 while XLA's phased form batches
+    freely), so 64 is the measured crossover, not a guess.
     Kill-switches: DTTS_NO_PALLAS_UPCONV (this kernel only) and
     DTTS_NO_PALLAS_CONV (every conv kernel in this module)."""
     if _NO_PALLAS_UPCONV or _NO_PALLAS_CONV:
