@@ -131,6 +131,23 @@ def test_conv3x3_up2_matches_reference(dtype, shape):
         atol=tol, rtol=tol)
 
 
+def test_conv3x3_up2_packed_layout_fallback():
+    """DTTS_UP2_DIRECT=0 path: the packed [B,H,2,W,2K] store + caller-side
+    reshape (the pre-8p layout) must keep matching the reference — it is
+    the documented revert for the direct-store retile."""
+    from diffusion_tts_tpu.ops.pallas.conv3x3 import _conv3_up2_fwd_only
+    from diffusion_tts_tpu.ops.resample import nn_upsample2x_conv3x3
+
+    b, h, w, c, k = 1, 8, 16, 128, 128
+    x = _rand((b, h, w, c), jnp.float32, 40)
+    ker = _rand((3, 3, c, k), jnp.float32, 41) * 0.05
+    bias = _rand((k,), jnp.float32, 42)
+    got = _conv3_up2_fwd_only(x, ker, bias, interpret=True, direct=False)
+    want = nn_upsample2x_conv3x3(x, ker, bias)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-4, rtol=1e-4)
+
+
 def test_conv3x3_stacked_bf16_combine(monkeypatch):
     """DTTS_CONV_COMBINE_BF16: the stacked form's post-dot dx combine in
     bf16 (static two-piece shifts, bf16 epilogue) — partials round to bf16

@@ -119,12 +119,15 @@ def test_candidate_sharded_real_unet_matches_unsharded(method, kw):
                                rtol=2e-5, atol=2e-6)
 
 
+@pytest.mark.slow
 def test_sd_candidate_sharded_search_matches_unsharded():
     """SDSearchBackend.candidate_sharding (sd_backend.py:37-41) — previously
     live-but-untested: the full tiny SD pipeline with the [N*B] expansion
     sharded over the 8-device mesh must reproduce the unsharded images and
     scores, driven through StableDiffusionSearchPipeline.__call__'s new
-    candidate_sharding passthrough."""
+    candidate_sharding passthrough. slow-marked (two full tiny-SD search
+    compiles, ~40 s): the default suite keeps the same sharded==unsharded
+    property via the beam/mcts real-UNet cases above."""
     from diffusion_tts_tpu.pipelines.sd_pipeline import (
         StableDiffusionSearchPipeline,
     )
