@@ -16,7 +16,11 @@ shared tiny CLIP weights (torch state_dict -> Flax via from_pt) over random
   ~2% of a typical candidate spread, far below decision relevance.
 
 Pinned bounds leave ~4x headroom on the score delta and demand zero
-argmax flips on the fixed seed.
+argmax flips on the fixed seed. The weight draw is part of the golden:
+on unseeded tiny-CLIP draws the ~0.001 preprocessing delta occasionally
+flips an argmax whose candidate pair is closer than that (observed 1/20
+on one draw) — at 16-dim projections the candidate spread floor is
+artificially tiny; the spread assertion below keeps the claim honest.
 """
 from __future__ import annotations
 
@@ -47,6 +51,12 @@ def rig(tmp_path_factory):
                            image_size=VISION_SIZE, patch_size=16),
         projection_dim=16,
     )
+    # CLIPModel(cfg) draws its init from torch's GLOBAL RNG: without this
+    # seed the tiny weights depend on whatever torch code ran earlier in
+    # the process (the full slow suite reproducibly produced a weight draw
+    # with 1/20 argmax flips), and the pinned zero-flip golden below is
+    # only a claim about the fixed draw.
+    torch.manual_seed(0)
     tmodel = CLIPModel(cfg)
     tmodel.eval()
     d = tmp_path_factory.mktemp("clip")
