@@ -44,6 +44,9 @@ def main():
                     help="A/B: carry the gradient pytree through the scan "
                          "instead of the default flat vector (the form the "
                          "remote runtime rejects at many-leaf model sizes)")
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="capture a jax.profiler trace of one steady-state "
+                         "step into DIR (tools/trace_summary.py reads it)")
     ap.add_argument("--json", default=None)
     args = ap.parse_args()
 
@@ -91,6 +94,22 @@ def main():
     jax.block_until_ready(state.params)
     compile_s = time.perf_counter() - t0
 
+    # Speed-of-light accounting (same convention as bench.py): XLA's own
+    # cost_analysis FLOPs for the WHOLE compiled step (fwd + bwd + Adam +
+    # EMA) over the measured step time, as a fraction of the chip's dense
+    # bf16 peak. The lowering hits the persistent compile cache, so this
+    # costs one cache lookup, not a recompile.
+    flops_per_step = 0.0
+    try:
+        cost = step.lower(
+            state, images, labels, jax.random.key(1)).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops_per_step = float(cost.get("flops", 0.0)) if cost else 0.0
+    except Exception as e:  # pragma: no cover - backend-dependent
+        print(f"# cost_analysis unavailable: {e}", file=sys.stderr)
+    peak = 197e12 if "v5" in str(jax.devices()[0].device_kind).lower() else 0.0
+
     # Timing: best-of-reps of ONE dispatch ended by a VALUE fetch. Two
     # tunnel pathologies force this shape: block_until_ready returns early
     # when dependent dispatches queue up (measured 14x-peak "throughput"),
@@ -106,6 +125,15 @@ def main():
         best = min(best, time.perf_counter() - t0)
     dt = best
 
+    if args.profile:
+        from diffusion_tts_tpu.utils.misc import start_trace, stop_trace
+
+        start_trace(args.profile)
+        state, metrics = step(state, images, labels, jax.random.key(99))
+        float(metrics["loss"])
+        stop_trace()
+        print(f"profiler trace written to {args.profile}/", file=sys.stderr)
+
     img_per_s = total_batch / dt
     out = dict(
         arch=args.arch, params=int(sum(
@@ -117,6 +145,9 @@ def main():
         step_ms=round(dt * 1e3, 1),
         compile_s=round(compile_s, 1),
         loss=float(metrics["loss"]),
+        step_gflops=round(flops_per_step / 1e9, 1),
+        model_tflops_s=round(flops_per_step / dt / 1e12, 2),
+        sol=round(flops_per_step / dt / peak, 4) if peak and flops_per_step else None,
     )
     print(json.dumps(out))
     if args.json:
