@@ -169,6 +169,36 @@ def _attention_reference(q, k, v):
     return out.astype(orig)
 
 
+def _attention_bwd_explicit(q, k, v, g):
+    """Attention VJP with the six backward dots in the INPUT dtype.
+
+    jax.vjp of ``_attention_reference`` inherits its fp32 upcasts, so for
+    bf16 training every backward matmul ran as an fp32 dot — measured 24%
+    of the whole imagenet64 train step (29 ms device time vs 2.7 ms for
+    all Pallas forwards; tools/train_bench.py --profile, round 4). Here
+    the dot OPERANDS stay in q.dtype (bf16 under training) while every
+    accumulation, the softmax, and its VJP run in fp32 — the same
+    numerics contract as the forward kernel (bf16 MXU passes, fp32
+    renormalization), and the standard flash-attention backward recipe.
+    For fp32 inputs this is the old math with the scale folded after the
+    q.k dot.
+    """
+    orig = q.dtype
+    f32 = jnp.float32
+    scale = 1.0 / q.shape[-1] ** 0.5
+    s = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=f32) * scale
+    w = jax.nn.softmax(s, axis=-1)  # fp32 [B, H, Tq, Tk]
+    wb = w.astype(orig)
+    gb = g.astype(orig)
+    dv = jnp.einsum("bhqk,bqhd->bkhd", wb, gb, preferred_element_type=f32)
+    dw = jnp.einsum("bqhd,bkhd->bhqk", gb, v, preferred_element_type=f32)
+    ds = w * (dw - jnp.sum(dw * w, axis=-1, keepdims=True))  # softmax VJP, fp32
+    dsb = ds.astype(orig)
+    dq = jnp.einsum("bhqk,bkhd->bqhd", dsb, k, preferred_element_type=f32) * scale
+    dk = jnp.einsum("bhqk,bqhd->bkhd", dsb, q, preferred_element_type=f32) * scale
+    return dq.astype(orig), dk.astype(orig), dv.astype(orig)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def _flash_diff(q, k, v, tq, tk, interpret):
     return _flash_attention_fwd_only(q, k, v, tq=tq, tk=tk, interpret=interpret)
@@ -180,8 +210,7 @@ def _flash_diff_fwd(q, k, v, tq, tk, interpret):
 
 def _flash_diff_bwd(tq, tk, interpret, res, g):
     q, k, v = res
-    _, vjp = jax.vjp(_attention_reference, q, k, v)
-    return vjp(g)
+    return _attention_bwd_explicit(q, k, v, g)
 
 
 _flash_diff.defvjp(_flash_diff_fwd, _flash_diff_bwd)
@@ -420,9 +449,20 @@ def _qkv_attn_diff_fwd(qkv, heads, interpret):
 
 
 def _qkv_attn_diff_bwd(heads, interpret, res, g):
+    # Same head split/merge as _qkv_attention_reference (pure relayout,
+    # self-inverse), with the dots through _attention_bwd_explicit so bf16
+    # training keeps the backward matmuls at bf16 MXU rate.
     (qkv,) = res
-    _, vjp = jax.vjp(lambda x: _qkv_attention_reference(x, heads), qkv)
-    return vjp(g)
+    b, t, c3 = qkv.shape
+    c = c3 // 3
+    d = c // heads
+    q = qkv[..., :c].reshape(b, t, heads, d)
+    k = qkv[..., c:2 * c].reshape(b, t, heads, d)
+    v = qkv[..., 2 * c:].reshape(b, t, heads, d)
+    dq, dk, dv = _attention_bwd_explicit(q, k, v, g.reshape(b, t, heads, d))
+    return (jnp.concatenate(
+        [dq.reshape(b, t, c), dk.reshape(b, t, c), dv.reshape(b, t, c)],
+        axis=-1),)
 
 
 _qkv_attn_diff.defvjp(_qkv_attn_diff_fwd, _qkv_attn_diff_bwd)
