@@ -44,6 +44,11 @@ def main():
                     help="A/B: carry the gradient pytree through the scan "
                          "instead of the default flat vector (the form the "
                          "remote runtime rejects at many-leaf model sizes)")
+    ap.add_argument("--chain", type=int, default=1, metavar="N",
+                    help="dispatch N dependent steps per timed rep and sync "
+                         "once at the end — amortizes the tunnel's "
+                         "per-dispatch round trip over N steps (the shape a "
+                         "production loop uses: enqueue ahead, sync rarely)")
     ap.add_argument("--profile", default=None, metavar="DIR",
                     help="capture a jax.profiler trace of one steady-state "
                          "step into DIR (tools/trace_summary.py reads it)")
@@ -116,13 +121,20 @@ def main():
     # and the tunnel intermittently stalls for minutes mid-queue (averages
     # meaningless). Use --rounds to amortize per-dispatch overhead: the
     # grad-accum scan processes rounds*batch images inside one program.
+    # With --chain N, each rep enqueues N dependent dispatches and fetches
+    # ONE scalar from the last step's metrics: the data dependency forces
+    # all N to complete, the fetch is the reliable sync, and the tunnel's
+    # per-dispatch round trip (~50 ms) is paid once per rep instead of once
+    # per step. Same compiled program either way.
+    keys = iter(jax.random.key(2 + i) for i in range(args.steps * args.chain))
     best = float("inf")
-    for i in range(args.steps):
+    for _ in range(args.steps):
         t0 = time.perf_counter()
-        # rebind: the input state was donated to this dispatch
-        state, metrics = step(state, images, labels, jax.random.key(2 + i))
+        for _ in range(args.chain):
+            # rebind: the input state was donated to this dispatch
+            state, metrics = step(state, images, labels, next(keys))
         float(metrics["loss"])
-        best = min(best, time.perf_counter() - t0)
+        best = min(best, (time.perf_counter() - t0) / args.chain)
     dt = best
 
     if args.profile:
@@ -138,7 +150,7 @@ def main():
     out = dict(
         arch=args.arch, params=int(sum(
             np.prod(l.shape) for l in jax.tree_util.tree_leaves(state.params))),
-        batch=total_batch, dtype=args.dtype,
+        batch=total_batch, dtype=args.dtype, chain=args.chain,
         device=str(jax.devices()[0].device_kind),
         img_per_s=round(img_per_s, 1),
         sec_per_kimg=round(1000.0 / img_per_s, 2),
