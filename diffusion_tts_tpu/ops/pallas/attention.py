@@ -199,18 +199,223 @@ def _attention_bwd_explicit(q, k, v, g):
     return dq.astype(orig), dk.astype(orig), dv.astype(orig)
 
 
+def _attn_stats_kernel(q_ref, k_ref, l2_ref, *, tk: int, scale: float):
+    """Row log2-sum-exp2 of the scaled scores: L2_i such that the softmax
+    weights are exp2(s_ij*scale*log2e - L2_i). Same online recurrence (raw-
+    score running max, scale folded into exp2) as the forward kernel."""
+    q = q_ref[0]  # [TQ, D]
+    t = k_ref.shape[1]
+    tq = q.shape[0]
+    num_kb = t // tk
+    s2 = scale * _LOG2E
+
+    def body(kb, carry):
+        m, l = carry
+        k = k_ref[0, pl.ds(kb * tk, tk), :]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+        l_new = l * jnp.exp2((m - m_new) * s2) + jnp.sum(
+            jnp.exp2(s * s2 - m_new * s2), axis=1, keepdims=True)
+        return m_new, l_new
+
+    m0 = jnp.full((tq, 1), _NEG_INF, jnp.float32)
+    l0 = jnp.zeros((tq, 1), jnp.float32)
+    m, l = jax.lax.fori_loop(0, num_kb, body, (m0, l0))
+    l2_ref[0] = jnp.broadcast_to(m * s2 + jnp.log2(l), (tq, 8))
+
+
+def _attn_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, l2_ref, dl_ref, dq_ref,
+                        *, tk: int, scale: float):
+    """dQ_i = scale * sum_j p_ij (dO_i.v_j - delta_i) k_j, K/V streamed.
+
+    p is recomputed from the saved row statistics (one extra QK dot vs
+    saving the weights — the flash-backward recompute recipe), so no
+    [T, T] tensor ever reaches HBM. Dot operands stay in the input dtype
+    (bf16 under training), accumulation fp32 — the forward's contract."""
+    q = q_ref[0]        # [TQ, D]
+    do = do_ref[0]      # [TQ, D]
+    l2 = l2_ref[0][:, 0:1]  # [TQ, 1] fp32 row lse
+    dl = dl_ref[0][:, 0:1]  # [TQ, 1] fp32 row delta
+    t = k_ref.shape[1]
+    tq, d = q.shape
+    num_kb = t // tk
+    s2 = scale * _LOG2E
+
+    def body(kb, acc):
+        k = k_ref[0, pl.ds(kb * tk, tk), :]
+        v = v_ref[0, pl.ds(kb * tk, tk), :]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        p = jnp.exp2(s * s2 - l2)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        ds = p * (dp - dl)
+        return acc + jax.lax.dot_general(
+            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    acc = jax.lax.fori_loop(0, num_kb, body, jnp.zeros((tq, d), jnp.float32))
+    dq_ref[0] = (acc * scale).astype(dq_ref.dtype)
+
+
+def _attn_bwd_dkv_kernel(k_ref, v_ref, q_ref, do_ref, l2_ref, dl_ref,
+                         dk_ref, dv_ref, *, tq: int, scale: float):
+    """dV_j = sum_i p_ij dO_i;  dK_j = scale * sum_i p_ij (dP_ij - delta_i) q_i.
+
+    Grid over k-blocks with Q/dO streamed; the transposed score block
+    s^T = k q^T puts the q axis on LANES, so the row statistics arrive in
+    the lane-oriented [BH, 8, T] layout (see _flash_attention_vjp)."""
+    k = k_ref[0]  # [TK, D]
+    v = v_ref[0]
+    t = q_ref.shape[1]
+    tk_, d = k.shape
+    num_qb = t // tq
+    s2 = scale * _LOG2E
+
+    def body(qb, carry):
+        dk, dv = carry
+        q = q_ref[0, pl.ds(qb * tq, tq), :]       # [TQ, D]
+        do = do_ref[0, pl.ds(qb * tq, tq), :]
+        l2 = l2_ref[0, 0:1, pl.ds(qb * tq, tq)]   # [1, TQ]
+        dl = dl_ref[0, 0:1, pl.ds(qb * tq, tq)]
+        st = jax.lax.dot_general(
+            k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        pt = jnp.exp2(st * s2 - l2)               # [TK, TQ]
+        dv = dv + jax.lax.dot_general(
+            pt.astype(do.dtype), do, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dpt = jax.lax.dot_general(
+            v, do, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        dst = pt * (dpt - dl)
+        dk = dk + jax.lax.dot_general(
+            dst.astype(q.dtype), q, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return dk, dv
+
+    z = jnp.zeros((tk_, d), jnp.float32)
+    dk, dv = jax.lax.fori_loop(0, num_qb, body, (z, z))
+    dk_ref[0] = (dk * scale).astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("tq", "tk", "interpret"))
+def _flash_attention_vjp(q, k, v, o, g, *, tq: int = 512, tk: int = 512,
+                         interpret: bool = False):
+    """Flash-attention backward on [B, T, H, D]: (dq, dk, dv).
+
+    The materializing XLA backward was 24% of the imagenet64 train step —
+    the fp32 [B,H,T,T] softmax weights and their bf16 casts alone move
+    ~2-3 GB of HBM per 32x32 attention site (tools/train_bench.py
+    --profile, round 4: 9.9 ms of convert_element_type + 17 ms of backward
+    dots). Here the [T, T] blocks live only in VMEM: a stats kernel
+    recovers each row's logsumexp (the forward kernel does not save it),
+    then dQ (grid over q-blocks) and dK/dV (grid over k-blocks) recompute
+    p blockwise from those statistics — 7 MXU passes total vs the
+    forward's 2, the standard flash backward recipe.
+
+    delta_i = dO_i . O_i is computed in XLA from the saved forward output
+    (cheap elementwise+reduce); the row statistics are fed to the kernels
+    twice — sublane-oriented [BH, T, 8] for dQ (rows of s) and
+    lane-oriented [BH, 8, T] for dK/dV (rows of s^T) — because Mosaic
+    block shapes must keep the last two dims tile-aligned or spanning, so
+    a [BH, T] vector cannot be sliced along T in the sublane position.
+    """
+    b, t, h, d = q.shape
+    tq = _fit_tile(t, tq)
+    tk = _fit_tile(t, tk)
+    scale = 1.0 / d**0.5
+    bh = b * h
+
+    def to_bh(x):
+        return x.transpose(0, 2, 1, 3).reshape(bh, t, d)
+
+    qf, kf, vf, gf = to_bh(q), to_bh(k), to_bh(v), to_bh(g)
+    vspec = dict(memory_space=pltpu.VMEM)
+    blk_q = pl.BlockSpec((1, tq, d), lambda i, j: (i, j, 0), **vspec)
+    blk_k = pl.BlockSpec((1, tk, d), lambda i, j: (i, j, 0), **vspec)
+    res_t = pl.BlockSpec((1, t, d), lambda i, j: (i, 0, 0), **vspec)
+    blk_r8 = pl.BlockSpec((1, tq, 8), lambda i, j: (i, j, 0), **vspec)
+    res_l8 = pl.BlockSpec((1, 8, t), lambda i, j: (i, 0, 0), **vspec)
+
+    l2r = pl.pallas_call(
+        functools.partial(_attn_stats_kernel, tk=tk, scale=scale),
+        out_shape=jax.ShapeDtypeStruct((bh, t, 8), jnp.float32),
+        grid=(bh, t // tq),
+        in_specs=[blk_q, res_t],
+        out_specs=blk_r8,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bh * t * t * d, bytes_accessed=2 * bh * t * d * 4,
+            transcendentals=bh * t * t),
+    )(qf, kf)
+
+    delta = jnp.sum(g.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
+    dbh = delta.transpose(0, 2, 1).reshape(bh, t)
+    dr = jnp.broadcast_to(dbh[:, :, None], (bh, t, 8))
+    l2bh = l2r[:, :, 0]
+    l2l = jnp.broadcast_to(l2bh[:, None, :], (bh, 8, t))
+    dll = jnp.broadcast_to(dbh[:, None, :], (bh, 8, t))
+
+    dq = pl.pallas_call(
+        functools.partial(_attn_bwd_dq_kernel, tk=tk, scale=scale),
+        out_shape=jax.ShapeDtypeStruct((bh, t, d), q.dtype),
+        grid=(bh, t // tq),
+        in_specs=[blk_q, res_t, res_t, blk_q, blk_r8, blk_r8],
+        out_specs=blk_q,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=6 * bh * t * t * d, bytes_accessed=5 * bh * t * d * 4,
+            transcendentals=bh * t * t),
+    )(qf, kf, vf, gf, l2r, dr)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_attn_bwd_dkv_kernel, tq=tq, scale=scale),
+        out_shape=(jax.ShapeDtypeStruct((bh, t, d), k.dtype),
+                   jax.ShapeDtypeStruct((bh, t, d), v.dtype)),
+        grid=(bh, t // tk),
+        in_specs=[blk_k, blk_k, res_t, res_t, res_l8, res_l8],
+        out_specs=(blk_k, blk_k),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=8 * bh * t * t * d, bytes_accessed=6 * bh * t * d * 4,
+            transcendentals=bh * t * t),
+    )(kf, vf, qf, gf, l2l, dll)
+
+    def from_bh(x):
+        return x.reshape(b, h, t, d).transpose(0, 2, 1, 3)
+
+    return from_bh(dq), from_bh(dk), from_bh(dv)
+
+
+def _flash_bwd_eligible(t: int, d: int) -> bool:
+    # T >= 1024: at the EDM res-32 training shape ([16,1024,6,64]) the
+    # kernel pair measures 1.96x the materializing backward (4.21 -> 2.14
+    # ms, tools/attn_bwd_probe.py); at T=256 (cifar10's res-16 sites) the
+    # per-block [256,256]x[256,64] dots underfill the MXU and the step
+    # measures ~2% SLOWER than XLA's batched dots (130.3/131.1 vs 128.3 ms
+    # reproduced), so short rows keep the explicit backward. Tile rule as
+    # the forward; the kernels handle any lane width that spans D.
+    return t >= 1024 and _fit_tile(t, 512) >= 128
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def _flash_diff(q, k, v, tq, tk, interpret):
     return _flash_attention_fwd_only(q, k, v, tq=tq, tk=tk, interpret=interpret)
 
 
 def _flash_diff_fwd(q, k, v, tq, tk, interpret):
-    return _flash_diff(q, k, v, tq, tk, interpret), (q, k, v)
+    out = _flash_diff(q, k, v, tq, tk, interpret)
+    return out, (q, k, v, out)
 
 
 def _flash_diff_bwd(tq, tk, interpret, res, g):
-    q, k, v = res
-    return _attention_bwd_explicit(q, k, v, g)
+    q, k, v, o = res
+    t, d = q.shape[1], q.shape[3]
+    if (interpret or jax.default_backend() not in ("tpu", "axon")
+            or not _flash_bwd_eligible(t, d)):
+        return _attention_bwd_explicit(q, k, v, g)
+    return _flash_attention_vjp(q, k, v, o, g)
 
 
 _flash_diff.defvjp(_flash_diff_fwd, _flash_diff_bwd)
@@ -445,21 +650,31 @@ def _qkv_attn_diff(qkv, heads, interpret):
 
 
 def _qkv_attn_diff_fwd(qkv, heads, interpret):
-    return _qkv_attn_diff(qkv, heads, interpret), (qkv,)
+    out = _qkv_attn_diff(qkv, heads, interpret)
+    return out, (qkv, out)
 
 
 def _qkv_attn_diff_bwd(heads, interpret, res, g):
     # Same head split/merge as _qkv_attention_reference (pure relayout,
-    # self-inverse), with the dots through _attention_bwd_explicit so bf16
-    # training keeps the backward matmuls at bf16 MXU rate.
-    (qkv,) = res
+    # self-inverse). On TPU the dots run through the flash backward
+    # kernels (_flash_attention_vjp) — the head-split transposes cost
+    # ~0.1 ms of HBM traffic vs the ~3 ms/site the materializing XLA
+    # backward paid in [T,T] weight round-trips; elsewhere the explicit
+    # jnp backward keeps bf16 MXU-rate dots.
+    qkv, o = res
     b, t, c3 = qkv.shape
     c = c3 // 3
     d = c // heads
     q = qkv[..., :c].reshape(b, t, heads, d)
     k = qkv[..., c:2 * c].reshape(b, t, heads, d)
     v = qkv[..., 2 * c:].reshape(b, t, heads, d)
-    dq, dk, dv = _attention_bwd_explicit(q, k, v, g.reshape(b, t, heads, d))
+    g4 = g.reshape(b, t, heads, d)
+    if (interpret or jax.default_backend() not in ("tpu", "axon")
+            or not _flash_bwd_eligible(t, d)):
+        dq, dk, dv = _attention_bwd_explicit(q, k, v, g4)
+    else:
+        dq, dk, dv = _flash_attention_vjp(
+            q, k, v, o.reshape(b, t, heads, d), g4)
     return (jnp.concatenate(
         [dq.reshape(b, t, c), dk.reshape(b, t, c), dv.reshape(b, t, c)],
         axis=-1),)

@@ -93,3 +93,30 @@ def test_fused_qkv_wrapper_fallback_matches():
                                atol=2e-6, rtol=2e-6)
     assert qkv_self_attention_eligible(qkv, 2)
     assert not qkv_self_attention_eligible(qkv, 4)  # d=32: unaligned lanes
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+@pytest.mark.parametrize("shape", [(2, 256, 2, 64), (1, 256, 1, 40)])
+def test_flash_attention_vjp_kernels_match_reference(shape, dtype):
+    """The flash backward kernel pair (stats -> dQ -> dK/dV recompute,
+    interpret mode) vs jax.vjp of the materializing reference attention.
+    This is the TPU training backward — the custom_vjp wrappers route to
+    it on TPU; CPU tests must drive it explicitly."""
+    from diffusion_tts_tpu.ops.pallas.attention import (
+        _attention_reference,
+        _flash_attention_vjp,
+    )
+
+    b, t, h, d = shape
+    ks = jax.random.split(jax.random.key(3), 4)
+    q, k, v, g = (jax.random.normal(kk, shape, dtype) for kk in ks)
+    o, pull = jax.vjp(_attention_reference, q, k, v)
+    dq_r, dk_r, dv_r = pull(g)
+    dq, dk, dv = _flash_attention_vjp(q, k, v, o, g, tq=128, tk=128,
+                                      interpret=True)
+    tol = 2e-5 if dtype == jnp.float32 else 4e-2
+    for a, r in zip((dq, dk, dv), (dq_r, dk_r, dv_r)):
+        assert a.dtype == r.dtype
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(r, np.float32),
+                                   atol=tol, rtol=tol)
