@@ -48,7 +48,8 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_train_step(step_fn, mesh: Mesh, *, data_axis: str = "data",
-                     model_sharded_state: bool = False):
+                     model_sharded_state: bool = False,
+                     batch_lead_dims: int = 1):
     """jit a train step over the mesh: per-round microbatches sharded on the
     batch axis, key replicated. The gradient mean over the sharded batch IS
     the DDP all-reduce (training_loop.py:89,123-132) — inserted by XLA as a
@@ -57,8 +58,13 @@ def shard_train_step(step_fn, mesh: Mesh, *, data_axis: str = "data",
     model_sharded_state=False (pure DP): state pinned replicated.
     model_sharded_state=True (DP x TP): the state keeps whatever per-leaf
     shardings it arrived with (see sharding_rules.shard_state) and GSPMD
-    propagates them — outputs inherit the input layout."""
-    batch_sh = NamedSharding(mesh, P(None, data_axis))  # [rounds, batch, ...]
+    propagates them — outputs inherit the input layout.
+
+    batch_lead_dims: unsharded axes before the batch axis — 1 for a single
+    step's [rounds, batch, ...], 2 for a multi-step dispatch's
+    [steps, rounds, batch, ...] (make_train_multi_step)."""
+    batch_sh = NamedSharding(
+        mesh, P(*([None] * batch_lead_dims), data_axis))  # [..., batch, ...]
     key_sh = replicated(mesh)
     if model_sharded_state:
         return jax.jit(step_fn, in_shardings=(None, batch_sh, batch_sh, key_sh))

@@ -27,6 +27,7 @@ from diffusion_tts_tpu.training.train_step import (
     TrainConfig,
     TrainState,
     make_optimizer,
+    make_train_multi_step,
     make_train_step,
 )
 from diffusion_tts_tpu.utils.logging_utils import format_time, print0
@@ -43,6 +44,13 @@ class LoopConfig:
     seed: int = 0
     batch_size: int = 512  # global
     batch_gpu: int | None = None  # microbatch per step per device group
+    # Optimizer steps per compiled dispatch (lax.scan over the train step,
+    # make_train_multi_step). >1 pays the per-program dispatch overhead
+    # once per S steps — the training counterpart of the search engine's
+    # chunked dispatch. Training math is bit-identical for any value
+    # (pinned by tests/test_training.py): the host key-split schedule and
+    # batch order are unchanged, only the program boundary moves.
+    steps_per_dispatch: int = 1
 
 
 def training_loop(
@@ -106,33 +114,61 @@ def training_loop(
         state = checkpoints.load_state(resume_state_path, like=state)
         print0(f"resumed from {resume_state_path} at nimg={int(state.nimg)}")
 
-    step_fn = shard_train_step(
-        make_train_step(loss_fn, denoise_apply, train_cfg, tx, augment_fn), mesh
-    )
+    steps_per_dispatch = max(1, loop_cfg.steps_per_dispatch)
+    if steps_per_dispatch == 1:
+        step_fn = shard_train_step(
+            make_train_step(loss_fn, denoise_apply, train_cfg, tx, augment_fn),
+            mesh,
+        )
+    else:
+        step_fn = shard_train_step(
+            make_train_multi_step(loss_fn, denoise_apply, train_cfg, tx, augment_fn),
+            mesh, batch_lead_dims=2,
+        )
 
     collector = Collector()
     jsonl = JsonlLogger(os.path.join(loop_cfg.run_dir, "stats.jsonl"))
     tick = 0
-    tick_start_nimg = int(state.nimg)
+    # nimg is tracked on the HOST (state.nimg advances by total_batch per
+    # step inside the program, deterministically) so the loop never fetches
+    # device values between dispatches — fetching would serialize the
+    # enqueue-ahead pipeline on a per-step/dispatch round trip.
+    nimg = int(state.nimg)
+    tick_start_nimg = nimg
     tick_start_time = start_time = time.time()
+    pending_losses: list = []  # device arrays, converted at tick boundaries
 
     def reshape_batch(images, labels):
-        img = jnp.asarray(images, jnp.float32).reshape((rounds, micro) + images.shape[1:])
-        lab = jnp.asarray(labels, jnp.float32).reshape((rounds, micro) + labels.shape[1:])
+        img = np.asarray(images, np.float32).reshape((rounds, micro) + images.shape[1:])
+        lab = np.asarray(labels, np.float32).reshape((rounds, micro) + labels.shape[1:])
         return img, lab
 
-    batch = (images0, labels0)
+    batches = [(images0, labels0)]
+    while len(batches) < steps_per_dispatch:
+        batches.append(next(data_iter))
     while True:
-        img, lab = reshape_batch(*batch)
-        key, sub = jax.random.split(key)
-        state, metrics = step_fn(state, img, lab, sub)
-        collector.report("Loss/loss", metrics["loss"])
-        nimg = int(state.nimg)
+        pairs = [reshape_batch(*b) for b in batches]
+        subs = []
+        for _ in range(steps_per_dispatch):
+            key, sub = jax.random.split(key)
+            subs.append(sub)
+        if steps_per_dispatch == 1:
+            state, metrics = step_fn(
+                state, jnp.asarray(pairs[0][0]), jnp.asarray(pairs[0][1]), subs[0])
+        else:
+            img = jnp.asarray(np.stack([p[0] for p in pairs]))
+            lab = jnp.asarray(np.stack([p[1] for p in pairs]))
+            state, metrics = step_fn(state, img, lab, jnp.stack(subs))
+        pending_losses.append(metrics["loss"])
+        nimg += train_cfg.total_batch * steps_per_dispatch
 
         done = nimg >= loop_cfg.total_kimg * 1000
         tick_done = nimg >= tick_start_nimg + loop_cfg.kimg_per_tick * 1000
         if tick_done or done:
             now = time.time()
+            for v in pending_losses:
+                collector.report("Loss/loss", v)
+            pending_losses.clear()
             collector.report0("Timing/sec_per_kimg",
                               (now - tick_start_time) / max((nimg - tick_start_nimg) / 1000, 1e-8))
             # cross-process moment reduction per tick (the reference's
@@ -164,7 +200,7 @@ def training_loop(
                 break
         if done:
             break
-        batch = next(data_iter)
+        batches = [next(data_iter) for _ in range(steps_per_dispatch)]
 
     jsonl.close()
     # final snapshot

@@ -70,6 +70,87 @@ def test_train_step_reduces_loss_and_updates_ema():
 
 
 @pytest.mark.slow
+def test_multi_step_dispatch_matches_sequential():
+    """make_train_multi_step (S steps in one lax.scan program — the
+    training counterpart of chunked dispatch) is bit-identical to S
+    sequential single-step dispatches given the same pre-split keys.
+    (The default suite covers the same guarantee end-to-end via
+    test_training_loop_steps_per_dispatch_identical.)"""
+    from diffusion_tts_tpu.training.train_step import make_train_multi_step
+
+    net = make_net()
+    S = 3
+    imgs = jax.random.normal(jax.random.key(0), (S, 2, 4, 8, 8, 3)) * 0.5
+    labels = jax.random.permutation(
+        jax.random.key(3), jnp.tile(jnp.eye(4), (S, 2, 1, 1)).reshape(-1, 4)
+    ).reshape(S, 2, 4, 4)
+    variables = net.init(
+        {"params": jax.random.key(1)}, imgs[0, 0], jnp.ones((4,)), labels[0, 0]
+    )
+    cfg = TrainConfig(lr=1e-3, grad_accum_rounds=2, total_batch=8,
+                      lr_rampup_kimg=0.0, ema_halflife_kimg=0.01)
+    tx = make_optimizer(cfg)
+    denoise_apply = lambda p, x, s, l, al, rng=None: net.apply(
+        {"params": p}, x, s, l, augment_labels=al)
+    keys = jax.random.split(jax.random.key(7), S)
+
+    step = jax.jit(make_train_step(EDMLoss(), denoise_apply, cfg, tx))
+    state_seq = TrainState.create(variables["params"], tx)
+    seq_losses = []
+    for i in range(S):
+        state_seq, m = step(state_seq, imgs[i], labels[i], keys[i])
+        seq_losses.append(float(m["loss"]))
+
+    multi = jax.jit(make_train_multi_step(EDMLoss(), denoise_apply, cfg, tx))
+    state_multi = TrainState.create(variables["params"], tx)
+    state_multi, ms = multi(state_multi, imgs, labels, keys)
+
+    np.testing.assert_array_equal(np.asarray(ms["loss"]), np.asarray(seq_losses))
+    assert int(state_multi.nimg) == int(state_seq.nimg) == S * 8
+    for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(state_multi.params)),
+                    jax.tree_util.tree_leaves(jax.device_get(state_seq.params))):
+        np.testing.assert_array_equal(a, b)
+    for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(state_multi.ema_params)),
+                    jax.tree_util.tree_leaves(jax.device_get(state_seq.ema_params))):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_training_loop_steps_per_dispatch_identical(tmp_path):
+    """The loop's steps_per_dispatch only moves the program boundary: the
+    key-split schedule and batch order are unchanged, so training is
+    bit-identical for any value."""
+    from diffusion_tts_tpu.training.dataset import batch_iterator
+    from diffusion_tts_tpu.training.loop import LoopConfig, training_loop
+
+    rng = np.random.default_rng(0)
+    images = rng.integers(0, 255, (16, 8, 8, 3), dtype=np.uint8)
+    labels = rng.integers(0, 4, (16,))
+    net = make_net()
+
+    def run(spd):
+        ds = ImageDataset(images=images, labels=labels)
+        # 1000 images at batch 100 = exactly 10 steps for BOTH dispatch
+        # widths (10 % 2 == 0), so the two runs see identical step counts.
+        return training_loop(
+            net=net, net_config={"img_resolution": 8},
+            data_iter=batch_iterator(ds, 100),
+            loss_fn=EDMLoss(),
+            train_cfg=TrainConfig(lr=1e-3, grad_accum_rounds=2, total_batch=100),
+            loop_cfg=LoopConfig(run_dir=str(tmp_path / f"spd{spd}"),
+                                total_kimg=1, kimg_per_tick=1,
+                                snapshot_ticks=0, state_dump_ticks=0,
+                                steps_per_dispatch=spd),
+            mesh=make_mesh({"data": 2}, devices=jax.devices()[:2]),
+        )
+
+    s1, s2 = run(1), run(2)
+    assert int(s1.nimg) == int(s2.nimg) > 0
+    for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(s1.params)),
+                    jax.tree_util.tree_leaves(jax.device_get(s2.params))):
+        np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.slow
 def test_accum_modes_agree():
     """The three accumulation forms — flat-carry scan (default: 4-operand
     while-loop carry, the remote-runtime-safe one), pytree-carry scan, and

@@ -44,6 +44,11 @@ def main():
                     help="A/B: carry the gradient pytree through the scan "
                          "instead of the default flat vector (the form the "
                          "remote runtime rejects at many-leaf model sizes)")
+    ap.add_argument("--scan", type=int, default=1, metavar="S",
+                    help="run S optimizer steps inside ONE compiled program "
+                         "(lax.scan over the step — make_train_multi_step); "
+                         "pays the per-program dispatch overhead once per S "
+                         "steps. step_ms reports per-step time.")
     ap.add_argument("--chain", type=int, default=1, metavar="N",
                     help="dispatch N dependent steps per timed rep and sync "
                          "once at the end — amortizes the tunnel's "
@@ -85,14 +90,28 @@ def main():
                       accum_flat_carry=not args.tree_carry)
     tx = make_optimizer(cfg)
     state = TrainState.create(variables["params"], tx)
-    step = jax.jit(make_train_step(EDMLoss(), denoise_apply, cfg, tx),
-                   donate_argnums=() if args.no_donate else (0,))
 
     images = jnp.asarray(
         rng.normal(size=(args.rounds, micro, res, res, ch)), jnp.float32)
     labels = (jnp.asarray(
         np.eye(label_dim)[rng.integers(0, label_dim, (args.rounds, micro))],
         jnp.float32) if label_dim else jnp.zeros((args.rounds, micro, 0)))
+
+    if args.scan > 1:
+        from diffusion_tts_tpu.training.train_step import make_train_multi_step
+
+        multi = make_train_multi_step(EDMLoss(), denoise_apply, cfg, tx)
+        raw = jax.jit(multi, donate_argnums=() if args.no_donate else (0,))
+        # One shared batch repeated S times (stacked once, outside timing).
+        images = jnp.tile(images[None], (args.scan,) + (1,) * images.ndim)
+        labels = jnp.tile(labels[None], (args.scan,) + (1,) * labels.ndim)
+
+        def step(state, images, labels, key):
+            st, ms = raw(state, images, labels, jax.random.split(key, args.scan))
+            return st, jax.tree_util.tree_map(lambda m: m[-1], ms)
+    else:
+        step = jax.jit(make_train_step(EDMLoss(), denoise_apply, cfg, tx),
+                       donate_argnums=() if args.no_donate else (0,))
 
     t0 = time.perf_counter()
     state, metrics = step(state, images, labels, jax.random.key(1))
@@ -106,10 +125,18 @@ def main():
     # costs one cache lookup, not a recompile.
     flops_per_step = 0.0
     try:
-        cost = step.lower(
-            state, images, labels, jax.random.key(1)).compile().cost_analysis()
+        if args.scan > 1:
+            cost = raw.lower(
+                state, images, labels,
+                jax.random.split(jax.random.key(1), args.scan),
+            ).compile().cost_analysis()
+        else:
+            cost = step.lower(
+                state, images, labels, jax.random.key(1)).compile().cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
+        # NOTE: XLA cost_analysis counts a while-loop (scan) body ONCE, so
+        # the scanned multi-step program reports the same FLOPs as one step.
         flops_per_step = float(cost.get("flops", 0.0)) if cost else 0.0
     except Exception as e:  # pragma: no cover - backend-dependent
         print(f"# cost_analysis unavailable: {e}", file=sys.stderr)
@@ -134,7 +161,7 @@ def main():
             # rebind: the input state was donated to this dispatch
             state, metrics = step(state, images, labels, next(keys))
         float(metrics["loss"])
-        best = min(best, (time.perf_counter() - t0) / args.chain)
+        best = min(best, (time.perf_counter() - t0) / (args.chain * args.scan))
     dt = best
 
     if args.profile:
@@ -152,6 +179,7 @@ def main():
             np.prod(l.shape) for l in jax.tree_util.tree_leaves(state.params))),
         batch=total_batch, dtype=args.dtype, chain=args.chain,
         device=str(jax.devices()[0].device_kind),
+        scan=args.scan,
         img_per_s=round(img_per_s, 1),
         sec_per_kimg=round(1000.0 / img_per_s, 2),
         step_ms=round(dt * 1e3, 1),
