@@ -68,6 +68,10 @@ def main(argv=None):
     p.add_argument("--transfer", type=str, default=None, help="EMA snapshot to initialize from")
     p.add_argument("--resume", type=str, default=None, help="training state to resume")
     p.add_argument("--max-ticks", type=int, default=None, help="stop after N ticks (smoke runs)")
+    p.add_argument("--steps-per-dispatch", type=int, default=1,
+                   help="optimizer steps per compiled dispatch (lax.scan over "
+                        "the train step; bit-identical training, fewer host "
+                        "round trips — see LoopConfig.steps_per_dispatch)")
     p.add_argument("-n", "--dry-run", action="store_true")
     args = p.parse_args(argv)
 
@@ -149,6 +153,7 @@ def main(argv=None):
         run_dir=run_dir, total_kimg=int(args.duration * 1000),
         kimg_per_tick=args.tick, snapshot_ticks=args.snap,
         state_dump_ticks=args.dump, seed=seed, batch_size=args.batch,
+        steps_per_dispatch=args.steps_per_dispatch,
     )
 
     opts_dump = dict(vars(args), run_dir=run_dir, net_config=net_config, seed=seed)
