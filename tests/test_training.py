@@ -69,13 +69,12 @@ def test_train_step_reduces_loss_and_updates_ema():
     assert max(jax.tree_util.tree_leaves(d)) > 0
 
 
-@pytest.mark.slow
 def test_multi_step_dispatch_matches_sequential():
     """make_train_multi_step (S steps in one lax.scan program — the
     training counterpart of chunked dispatch) is bit-identical to S
     sequential single-step dispatches given the same pre-split keys.
-    (The default suite covers the same guarantee end-to-end via
-    test_training_loop_steps_per_dispatch_identical.)"""
+    (The slow suite re-proves the same guarantee end-to-end through
+    training_loop via test_training_loop_steps_per_dispatch_identical.)"""
     from diffusion_tts_tpu.training.train_step import make_train_multi_step
 
     net = make_net()
@@ -115,10 +114,13 @@ def test_multi_step_dispatch_matches_sequential():
         np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_training_loop_steps_per_dispatch_identical(tmp_path):
     """The loop's steps_per_dispatch only moves the program boundary: the
     key-split schedule and batch order are unchanged, so training is
-    bit-identical for any value."""
+    bit-identical for any value. (Slow: compiles training_loop twice on a
+    2-device mesh, ~30 s; the default suite keeps the same guarantee at
+    the train_step layer via test_multi_step_dispatch_matches_sequential.)"""
     from diffusion_tts_tpu.training.dataset import batch_iterator
     from diffusion_tts_tpu.training.loop import LoopConfig, training_loop
 
