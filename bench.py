@@ -151,7 +151,12 @@ def main():
     # "one Heun-pair NFE of the reference formulation", not against whatever
     # cheaper program this repo happens to execute (else every FLOP-saving
     # rewrite would *lower* the reported efficiency at equal throughput).
-    # The flag is a trace-time module constant; pin it for this one lowering.
+    # roofline.canonical_formulation pins every trace-time routing flag:
+    # crucially it ALSO disables the Pallas attention routes — a custom
+    # call's matmuls are invisible to cost_analysis, so rounds 1-4 lowered
+    # the canonical program with flash attention active and UNDERCOUNTED
+    # the numerator by the attention FLOPs (key bumped to v2; vs_baseline
+    # is slightly higher and now exact).
     # The count is a property of (model, resolution, batch), so cache it on
     # disk — the extra remote compile is paid once ever, not per bench run.
     # Key includes a fingerprint of the full model config: changing channels/
@@ -163,7 +168,7 @@ def main():
         repr((net.model_type, sorted(net.model_kwargs.items()),
               net.img_channels, str(net.dtype))).encode()
     ).hexdigest()[:10]
-    flops_key = f"canonical_fwd_res{res}_ld{label_dim}_b{batch}_{cfg_fp}"
+    flops_key = f"canonical_fwd_v2_res{res}_ld{label_dim}_b{batch}_{cfg_fp}"
     flops_cache_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), ".jax_cache",
         "canonical_flops.json")
@@ -174,15 +179,11 @@ def main():
     except (OSError, ValueError):
         pass
     if not flops_per_fwd:
-        from diffusion_tts_tpu.models import layers as _layers
+        from diffusion_tts_tpu.utils.roofline import canonical_formulation
 
-        saved = _layers._NO_FUSED_UPSAMPLE
-        _layers._NO_FUSED_UPSAMPLE = True
-        try:
+        with canonical_formulation():
             fwd = jax.jit(lambda v, xx, ss: net.apply(v, xx, ss, labels))
             cost = fwd.lower(variables, x, sigma).compile().cost_analysis()
-        finally:
-            _layers._NO_FUSED_UPSAMPLE = saved
         flops_per_fwd = (
             float(cost["flops"]) / batch if cost and "flops" in cost else 0.0)
         if flops_per_fwd and on_tpu:

@@ -9,8 +9,18 @@ attention.py) is used on TPU for large T when enabled.
 """
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
+
+# Trace-time kill-switch for every Pallas attention route in this module
+# (mirrors DTTS_NO_PALLAS_CONV / _FF / _GN). roofline.canonical_formulation
+# flips the module constant directly so SOL numerators are computed on the
+# all-XLA canonical program, where every matmul is a visible dot_general —
+# FLOPs inside Pallas custom calls are invisible to both the jaxpr walker
+# and XLA's cost_analysis.
+_NO_PALLAS_ATTN = bool(os.environ.get("DTTS_NO_PALLAS_ATTN"))
 
 
 def multihead_attention_fp32(
@@ -38,7 +48,7 @@ def multihead_attention_fp32(
 
 
 def _pallas_eligible(q: jax.Array) -> bool:
-    if jax.default_backend() not in ("tpu", "axon"):
+    if _NO_PALLAS_ATTN or jax.default_backend() not in ("tpu", "axon"):
         return False
     b, t, h, d = q.shape
     # Pallas pays off once the score matrix stops fitting in registers/VMEM
@@ -84,7 +94,8 @@ def fused_qkv_self_attention(
 
     if use_pallas is None:
         use_pallas = (
-            jax.default_backend() in ("tpu", "axon")
+            not _NO_PALLAS_ATTN
+            and jax.default_backend() in ("tpu", "axon")
             and qkv_self_attention_eligible(qkv, heads)
         )
     if use_pallas:

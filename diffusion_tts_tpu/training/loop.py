@@ -34,6 +34,14 @@ from diffusion_tts_tpu.utils.logging_utils import format_time, print0
 from diffusion_tts_tpu.utils.stats import Collector, JsonlLogger
 
 
+# Max pending-loss device scalars held between ticks: the backlog is
+# drained into the Collector once it reaches this many dispatches, so a
+# kimg-scale tick cannot pin thousands of live device buffers. By drain
+# time the oldest entry is this many dispatches behind the enqueue
+# frontier, so the host fetch never stalls the pipeline.
+MAX_PENDING_LOSSES = 64
+
+
 @dataclasses.dataclass
 class LoopConfig:
     run_dir: str = "runs/exp"
@@ -136,7 +144,8 @@ def training_loop(
     nimg = int(state.nimg)
     tick_start_nimg = nimg
     tick_start_time = start_time = time.time()
-    pending_losses: list = []  # device arrays, converted at tick boundaries
+    # device arrays; drained at tick boundaries and at MAX_PENDING_LOSSES
+    pending_losses: list = []
 
     def reshape_batch(images, labels):
         img = np.asarray(images, np.float32).reshape((rounds, micro) + images.shape[1:])
@@ -160,6 +169,10 @@ def training_loop(
             lab = jnp.asarray(np.stack([p[1] for p in pairs]))
             state, metrics = step_fn(state, img, lab, jnp.stack(subs))
         pending_losses.append(metrics["loss"])
+        if len(pending_losses) >= MAX_PENDING_LOSSES:
+            for v in pending_losses:
+                collector.report("Loss/loss", v)
+            pending_losses.clear()
         nimg += train_cfg.total_batch * steps_per_dispatch
 
         done = nimg >= loop_cfg.total_kimg * 1000

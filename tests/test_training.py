@@ -266,10 +266,16 @@ def test_dataset_and_sampler():
 
 @pytest.mark.slow  # ~22 s warm end-to-end loop; train-step/EMA/sharding
 # behavior stays covered by the fast tests above
-def test_training_loop_smoke(tmp_path):
+def test_training_loop_smoke(tmp_path, monkeypatch):
+    from diffusion_tts_tpu.training import loop as loop_mod
     from diffusion_tts_tpu.training.loop import LoopConfig, training_loop
     from diffusion_tts_tpu.training.dataset import batch_iterator
 
+    # Exercise the pending-loss backlog drain (loop.py MAX_PENDING_LOSSES):
+    # with the cap at 2, the ~63 dispatches of this 1-kimg run drain ~31
+    # times between ticks instead of holding 63 live device scalars; the
+    # tick's Loss/loss count must still see every step exactly once.
+    monkeypatch.setattr(loop_mod, "MAX_PENDING_LOSSES", 2)
     rng = np.random.default_rng(0)
     images = rng.integers(0, 255, (16, 8, 8, 3), dtype=np.uint8)
     labels = rng.integers(0, 4, (16,))
@@ -288,6 +294,12 @@ def test_training_loop_smoke(tmp_path):
     assert int(state.nimg) > 0
     assert os.path.exists(os.path.join(str(tmp_path), "stats.jsonl"))
     assert os.path.exists(os.path.join(str(tmp_path), "network-snapshot-final.config.json"))
+    import json
+
+    with open(os.path.join(str(tmp_path), "stats.jsonl")) as f:
+        rec = json.loads(f.readline())
+    # every optimizer step reported exactly once despite the capped backlog
+    assert rec["Loss/loss"]["num"] == int(state.nimg) // 16
 
 
 @pytest.mark.slow
