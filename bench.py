@@ -10,7 +10,12 @@ vs_baseline = achieved model FLOP/s divided by the chip's peak bf16 FLOP/s
 (fraction of speed-of-light; the reference repo publishes no numbers to
 compare against — BASELINE.json published:{}).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} — plus, on
+TPU when the compile cache is warm, an "sd" sub-object carrying the SD-1.5
+paper-headline e2e metric (tools/sd_e2e_bench.py at sd/main.py defaults), so
+both backends land in the driver artifact (VERDICT r4 #1c). Progress
+heartbeats go to stderr so a driver-side timeout leaves diagnosable output.
+`--no-sd` restricts to the EDM metric; `--sd` runs the SD bench alone.
 """
 from __future__ import annotations
 
@@ -48,6 +53,30 @@ def _peak_flops() -> float:
     return 197e12
 
 
+_T0 = time.perf_counter()
+
+
+def _hb(msg: str) -> None:
+    """stderr heartbeat: phase + elapsed, so a driver-side timeout leaves
+    diagnosable tail output instead of nothing (round 4's BENCH_r04 was a
+    silent rc=124 — VERDICT r4 #1b)."""
+    import sys
+
+    print(f"[bench +{time.perf_counter() - _T0:.0f}s] {msg}",
+          file=sys.stderr, flush=True)
+
+
+def _load_sd_bench_module():
+    import importlib.util
+
+    p = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "tools", "sd_e2e_bench.py")
+    spec = importlib.util.spec_from_file_location("sd_e2e_bench", p)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
 def main():
     import sys
 
@@ -56,13 +85,7 @@ def main():
         # reference sd/main.py paper defaults (18 steps, K=20, N=4), with
         # speed-of-light accounting. Same one-JSON-line contract
         # (vs_baseline = SOL fraction).
-        import importlib.util
-
-        p = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "tools", "sd_e2e_bench.py")
-        spec = importlib.util.spec_from_file_location("sd_e2e_bench", p)
-        mod = importlib.util.module_from_spec(spec)
-        spec.loader.exec_module(mod)
+        mod = _load_sd_bench_module()
         if jax.default_backend() == "cpu":  # tiny smoke: compile-bound
             sys.argv = [sys.argv[0], "--steps", "6", "--K", "2", "--N", "4",
                         "--repeat", "2", "--tiny"]
@@ -79,6 +102,8 @@ def main():
 
     enable_compilation_cache()
     on_tpu = jax.default_backend() != "cpu"
+    _hb(f"start: backend={jax.default_backend()} "
+        f"device={jax.devices()[0].device_kind}")
     net, res, label_dim = ge._flagship(tiny=not on_tpu)
     # B=2 samples x N=8 candidates: the paper-default sample batch (B=2,
     # edm/main.py:35-43) at the top of the VERDICT-recommended candidate
@@ -142,7 +167,10 @@ def main():
         jax.random.normal(jax.random.key(2), x.shape)
     )
     eps = jax.random.normal(jax.random.key(3), (n_cand, batch, res, res, 3))
+    _hb("weights on device; compiling run_iters (seconds warm from "
+        ".jax_cache, ~5-10 min on a cold cache)")
     run_iters(variables, x_cur, eps).block_until_ready()  # compile
+    _hb("run_iters compiled")
 
     # Model FLOPs per single forward, from XLA's own cost analysis — of the
     # CANONICAL (reference-formulation) program: the fused upsample+conv
@@ -181,6 +209,8 @@ def main():
     if not flops_per_fwd:
         from diffusion_tts_tpu.utils.roofline import canonical_formulation
 
+        _hb("no cached canonical FLOP count: lowering+compiling the "
+            "canonical forward once (cached forever after)")
         with canonical_formulation():
             fwd = jax.jit(lambda v, xx, ss: net.apply(v, xx, ss, labels))
             cost = fwd.lower(variables, x, sigma).compile().cost_analysis()
@@ -213,10 +243,11 @@ def main():
     # 809k NFE/s rep, which best-of-reps would happily report).
     reps = 4 if on_tpu else 1
     best_dt = float("inf")
-    for _ in range(reps):
+    for rep in range(reps):
         t0 = time.perf_counter()
         float(run_iters(variables, x_cur, eps)[0, 0, 0, 0])
         best_dt = min(best_dt, time.perf_counter() - t0)
+        _hb(f"rep {rep + 1}/{reps} wall {time.perf_counter() - t0:.2f}s")
     if profile_dir:
         from diffusion_tts_tpu.utils.misc import stop_trace
 
@@ -228,13 +259,58 @@ def main():
     achieved = nfe_per_s * flops_per_fwd
     vs = achieved / _peak_flops()
 
-    print(json.dumps({
+    out = {
         "metric": "edm_imagenet64_eps_greedy_expand_NFE_per_s_per_chip"
                   if on_tpu else "edm_tiny_eps_greedy_expand_NFE_per_s (cpu smoke)",
         "value": round(nfe_per_s, 2),
         "unit": "NFE/s",
         "vs_baseline": round(vs, 4),
-    }))
+    }
+
+    # Secondary metric in the SAME driver artifact (VERDICT r4 #1c): the SD
+    # paper-headline e2e search. Only attempted when the EDM phase ran at
+    # warm-cache speed — a cold cache means this invocation is already
+    # minutes deep in compiles and the SD programs would be cold too, so we
+    # skip-with-notice rather than risk the whole artifact on a timeout.
+    # Warm/cold discriminator: a warm run's EDM phase is ~200-220 s (the
+    # dominant cost is deserializing the 68 MB cached run_iters executable
+    # over the tunnel, measured 160-210 s); a cold compile pushes it past
+    # 600 s. 360 s separates the two with margin on both sides.
+    edm_elapsed = time.perf_counter() - _T0
+    if on_tpu and "--no-sd" not in sys.argv:
+        if edm_elapsed < 360.0:
+            _hb(f"EDM phase warm ({edm_elapsed:.0f}s); running SD e2e "
+                "(paper defaults, 2 calls)")
+            try:
+                import contextlib
+                import io
+
+                mod = _load_sd_bench_module()
+                saved_argv = sys.argv
+                sys.argv = [sys.argv[0], "--steps", "18", "--K", "20",
+                            "--N", "4", "--repeat", "2"]
+                try:
+                    with contextlib.redirect_stdout(io.StringIO()):
+                        sd = mod.main()
+                finally:
+                    sys.argv = saved_argv
+                out["sd"] = {k: sd[k] for k in
+                             ("metric", "value", "unit", "steady_wall_s",
+                              "sol", "practical_ceiling",
+                              "sol_of_practical_ceiling", "hbm_aware_ceiling")
+                             if k in sd}
+            except Exception as e:  # the EDM line must survive an SD failure
+                _hb(f"SD e2e failed ({type(e).__name__}: {e}); "
+                    "emitting EDM metric alone")
+                out["sd"] = {"error": str(e)}
+        else:
+            _hb(f"EDM phase took {edm_elapsed:.0f}s (cold cache); skipping "
+                "SD e2e to protect the artifact — run `python bench.py --sd` "
+                "after warming")
+            out["sd"] = {"skipped": f"cold cache (edm phase {edm_elapsed:.0f}s)"}
+
+    _hb("done")
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -54,8 +54,11 @@ class StableDiffusionSearchPipeline:
     # ------------------------------------------------------------------ load
     @classmethod
     def from_pretrained(cls, path: str, **kwargs) -> "StableDiffusionSearchPipeline":
-        """Load a local diffusers-layout SD checkpoint (unet/, vae/,
-        text_encoder/, tokenizer/). Zero-egress: no hub download."""
+        """Load a local diffusers-layout SD checkpoint (unet/, vae/, and —
+        when present — text_encoder/ + tokenizer/). Zero-egress: no hub
+        download. Without a text encoder the pipeline still runs with
+        caller-supplied ``prompt_embeds`` (the weights-present fast path,
+        tests/test_real_weights.py, exercises both shapes)."""
         import json
         import os
 
@@ -96,13 +99,17 @@ class StableDiffusionSearchPipeline:
         vae_params = convert_diffusers_state_dict(
             load_safetensors(_find_weights(os.path.join(path, "vae")))
         )
-        text_encoder = FlaxCLIPTextModel.from_pretrained(
-            os.path.join(path, "text_encoder"), from_pt=True
-        )
-        tokenizer = CLIPTokenizer.from_pretrained(os.path.join(path, "tokenizer"))
+        text_encoder = tokenizer = text_params = None
+        if os.path.isdir(os.path.join(path, "text_encoder")):
+            text_encoder = FlaxCLIPTextModel.from_pretrained(
+                os.path.join(path, "text_encoder"), from_pt=True
+            )
+            text_params = text_encoder.params
+        if os.path.isdir(os.path.join(path, "tokenizer")):
+            tokenizer = CLIPTokenizer.from_pretrained(os.path.join(path, "tokenizer"))
         return cls(
             unet=unet, unet_params=unet_params, vae=vae, vae_params=vae_params,
-            text_encoder=text_encoder, text_params=text_encoder.params,
+            text_encoder=text_encoder, text_params=text_params,
             tokenizer=tokenizer, **kwargs,
         )
 

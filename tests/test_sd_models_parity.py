@@ -31,8 +31,8 @@ def _check_congruent(variables, converted):
     assert ref == conv, f"missing {sorted(ref-conv)[:4]} extra {sorted(conv-ref)[:4]}"
 
 
-@pytest.mark.slow  # ~30 s warm; sd_vae_parity + the pipeline goldens keep
-# the SD model path in the default run, full parity under `pytest -m ""`
+@pytest.mark.slow  # ~30 s warm; the pipeline goldens (test_sd_pipeline.py)
+# keep the SD model path in the default run, full parity under `pytest -m ""`
 def test_sd_unet_parity():
     state, data = _load("sd_unet")
     model = UNet2DConditionModel(
@@ -54,6 +54,8 @@ def test_sd_unet_parity():
     )
 
 
+@pytest.mark.slow  # ~19 s (encode+decode torch-golden compiles); the SD
+# model path stays in the default run via the test_sd_pipeline.py goldens
 def test_sd_vae_parity():
     state, data = _load("sd_vae")
     model = AutoencoderKL(block_out_channels=(32, 64), layers_per_block=1)

@@ -203,6 +203,8 @@ class TestBenchToolSmokes:
         out = json.loads(r.stdout.strip().splitlines()[-1])
         assert out["batch"] == 8  # rounds x micro
 
+    @pytest.mark.slow  # ~17 s subprocess compile; the e2e bench smoke below
+    # exercises the same pipeline surface
     def test_sd_bench_tiny(self):
         r = run_cli("tools/sd_bench.py", "--tiny", "--iters", "1")
         assert r.returncode == 0, r.stderr[-800:]

@@ -34,7 +34,20 @@ def test_losses_shapes_and_weighting():
     labels = jnp.eye(4)[jnp.array([0, 1, 2, 3])]
     variables = net.init({"params": jax.random.key(1)}, imgs, jnp.ones((4,)), labels)
     denoise = lambda x, s, l, al: net.apply(variables, x, s, l, augment_labels=al)
-    for loss_fn in (EDMLoss(), VPLoss(), VELoss()):
+    loss = EDMLoss()(denoise, imgs, labels, jax.random.key(2))
+    assert loss.shape == imgs.shape
+    assert np.isfinite(np.asarray(loss)).all()
+
+
+@pytest.mark.slow  # each loss traces the net eagerly (~5 s apiece on CPU);
+# EDMLoss stays in the fast test above
+def test_vp_ve_losses_shapes_and_weighting():
+    net = make_net()
+    imgs = jax.random.normal(jax.random.key(0), (4, 8, 8, 3)) * 0.5
+    labels = jnp.eye(4)[jnp.array([0, 1, 2, 3])]
+    variables = net.init({"params": jax.random.key(1)}, imgs, jnp.ones((4,)), labels)
+    denoise = lambda x, s, l, al: net.apply(variables, x, s, l, augment_labels=al)
+    for loss_fn in (VPLoss(), VELoss()):
         loss = loss_fn(denoise, imgs, labels, jax.random.key(2))
         assert loss.shape == imgs.shape
         assert np.isfinite(np.asarray(loss)).all()
@@ -186,6 +199,8 @@ def test_accum_modes_agree():
             np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow  # ~24 s (two full train-step compiles); the sharded
+# train path is also certified every round by the driver's dryrun_multichip
 def test_sharded_train_step_8_devices():
     mesh = make_mesh({"data": 8})
     net = make_net()
@@ -226,6 +241,8 @@ def test_augment_pipe_edm_config():
     assert labels_c.shape == (8, 6) and np.isfinite(np.asarray(out_c)).all()
 
 
+@pytest.mark.slow  # ~15 s of augment-pipe tracing; augment math itself is
+# covered by the fast test_augment_parity.py goldens
 def test_augment_trains_with_labels():
     """augment labels flow into the loss via the precond's augment path."""
     pipe = edm_augment_pipe(p=0.5)

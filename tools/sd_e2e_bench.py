@@ -175,6 +175,17 @@ def main():
 
     walls, score = [], None
     reps = max(args.repeat, 1)
+    t_start = time.perf_counter()
+
+    def hb(msg):
+        # stderr heartbeat so a driver-side timeout leaves diagnosable tail
+        # output (VERDICT r4 weak #1 / next-round #1b)
+        print(f"[sd_e2e_bench +{time.perf_counter() - t_start:.0f}s] {msg}",
+              file=sys.stderr, flush=True)
+
+    hb(f"start: {args.method} steps={args.steps} K={args.K} N={args.N} "
+       f"device={jax.devices()[0].device_kind} (first call pays any cold "
+       f"compile; warm-cache call is ~wall below)")
     for rep in range(reps):
         profiling = args.profile and rep == reps - 1
         if profiling:
@@ -187,6 +198,7 @@ def main():
         )
         score = float(np.asarray(scores)[0])
         walls.append(time.perf_counter() - t0)
+        hb(f"rep {rep + 1}/{reps} wall {walls[-1]:.1f}s")
         if profiling:
             jax.profiler.stop_trace()
             print(f"  profiler trace written to {args.profile}/", file=sys.stderr)
@@ -227,6 +239,7 @@ def main():
     if args.json:
         with open(args.json, "w") as f:
             json.dump(out, f, indent=1)
+    return out
 
 
 if __name__ == "__main__":
