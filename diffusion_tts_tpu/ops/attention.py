@@ -54,20 +54,20 @@ def _pallas_eligible(q: jax.Array) -> bool:
     # Pallas pays off once the score matrix stops fitting in registers/VMEM
     # comfortably; tiny feature maps are faster through plain XLA fusion.
     # Upper bound: the kernel keeps one head's FULL K/V resident in VMEM
-    # (ops/pallas/attention.py BlockSpecs), so the residency is dtype-
-    # bounded. History of the VAE mid-block's [4096, 512] single head:
-    # at fp32 residency K/V needs ~17 MB (> the scoped vmem) and a probed
-    # K-STREAMING grid variant (third grid dim + scratch-carried online
-    # softmax, 512-tiles) measured 89 ms vs XLA's 5-9 ms at
-    # [4, 4096, 1, 512] — removed (round-4 note 8j). In bf16 however the
-    # PLAIN kernel's K/V is 8 MB and fits: with the VMEM-aware q-tile
-    # shrink (flash_attention) it measures 3.29 ms vs XLA's 4.75 at that
-    # shape (tools/vae_attn_probe.py, 1.44x), so <=2-byte dtypes admit
-    # t*d up to 2^21 inclusive; fp32 keeps the old < 2^21 element bound.
+    # (ops/pallas/attention.py BlockSpecs) and Mosaic DOUBLE-buffers those
+    # blocks across grid steps, so the bound is 4*t*d*itemsize against the
+    # 16 MB scoped-vmem limit (14 MB budget, matching flash_attention's
+    # own model). History of the VAE mid-block's [4096, 512] single head:
+    # a K-STREAMING grid variant measured 89 ms vs XLA's 5-9 ms and was
+    # removed (round-4 note 8j); the round-4 bf16 PLAIN-kernel win there
+    # (3.29 vs 4.75 ms) relied on the round-4 AOT stack accepting
+    # single-buffered K/V accounting — the round-5 axon toolchain counts
+    # the double buffer (17 MB > 16 MB scoped) and rejects the kernel at
+    # compile time, so that shape now stays on XLA (~1% SD e2e cost,
+    # PARITY round-5 notes).
     if t < 1024 or d % 8:
         return False
-    lim = 2**21 if q.dtype.itemsize > 2 else 2**21 + 1
-    return t * d < lim
+    return 4 * t * d * q.dtype.itemsize <= 14 * 2**20
 
 
 def fused_qkv_self_attention(

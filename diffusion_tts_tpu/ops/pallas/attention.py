@@ -448,15 +448,21 @@ def flash_attention(
             "(< 128); falling back to XLA attention", stacklevel=2)
         return _attention_reference(q, k, v)
     # Shrink the q tile until the kernel's VMEM footprint fits: resident
-    # K/V + double-buffered q/out tiles + the fp32 score block, its cast
-    # copy, and the fp32 accumulator. Matters for wide single heads (the
-    # VAE mid-block's [4096, 512]): at tq=1024 the score block alone is
-    # 16 MB; tq=256 brings the kernel under the scoped VMEM limit.
+    # K/V (DOUBLE-buffered — Mosaic pipelines the (1, t, d) blocks across
+    # grid steps even though their index only changes with bh; the round-5
+    # axon AOT toolchain enforces this in its scoped-vmem stack accounting,
+    # so a model that counts K/V once admits kernels that no longer
+    # compile: the VAE mid-block's [*, 4096, 1, 512] bf16 — 17 MB vs the
+    # 16 MB scoped limit — compiled under the round-4 stack and fails
+    # under this one) + double-buffered q/out tiles + the fp32 score
+    # block, its cast copy, and the fp32 accumulator. If no q tile fits,
+    # fall back to the XLA reference path rather than ship an
+    # uncompilable kernel.
     item = q.dtype.itemsize
     tk = _fit_tile(t, tk)
 
     def vmem(tq_):
-        return (2 * t * d * item              # K/V resident
+        return (4 * t * d * item              # K/V resident, double-buffered
                 + 4 * tq_ * d * item          # q/out tiles double-buffered
                 + tq_ * tk * 4                # s fp32
                 + tq_ * tk * item             # p cast
@@ -465,6 +471,8 @@ def flash_attention(
     tq = _fit_tile(t, tq)
     while tq > 128 and vmem(tq) > 14 * 2**20:
         tq = _fit_tile(t, tq // 2)
+    if vmem(tq) > 14 * 2**20:
+        return _attention_reference(q, k, v)
     return _flash_diff(q, k, v, tq, tk, interpret)
 
 
@@ -690,10 +698,15 @@ def qkv_self_attention_eligible(qkv: jax.Array, heads: int) -> bool:
         return False
     t, c3 = qkv.shape[1], qkv.shape[2]
     d = c3 // 3 // heads
+    # 4 MB single-buffer bound: Mosaic double-buffers the resident block
+    # across grid steps and the round-5 axon AOT stack counts both buffers
+    # against the 16 MB scoped-vmem limit (see _pallas_eligible /
+    # flash_attention). Every EDM shape that routes here is <= 2.4 MB
+    # (t=1024 x c3=1152 bf16), so nothing currently flips.
     return (
         d % 64 == 0
         and _fit_tile(t, 256) >= min(t, 128)
-        and t * c3 * qkv.dtype.itemsize <= 8 * 2**20
+        and t * c3 * qkv.dtype.itemsize <= 4 * 2**20
     )
 
 
