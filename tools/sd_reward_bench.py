@@ -16,6 +16,12 @@ at a MATCHED denoiser-NFE budget (search.nfe.nfe_per_sample, backend="sd"):
 
 --curve sweeps eps_greedy K in {1,2,5,10,20} for the reward-vs-NFE curve.
 
+NFE convention: nfe_per_sample counts CFG-COMBINED model calls (one per
+candidate lookahead + one base per step — what the search algorithm
+spends); BASELINE.md's e2e bench (tools/sd_e2e_bench.py) counts raw UNet
+forwards, x2 for the CFG batch, so its figures are 2x these at the same
+config. Both are stated on every artifact; don't mix them.
+
 Scorers: brightness (sd/scorers.py:25-76 luminance), dct (the on-device
 JPEG-compressibility proxy), clip (CLIP similarity at the REAL
 ViT-L/14 geometry — random-init weights + random text features; the
