@@ -60,6 +60,11 @@ METHOD_PARAMS = {
     "zero_order": SearchParams(N=4, K=5, lambda_=0.15),
     "eps_greedy": SearchParams(N=4, K=5, eps=0.4, lambda_=0.15),
     "beam": SearchParams(B=2, N=9),
+    # optional 6th row (not in the default set): S=2 rollouts/timestep is
+    # the closest lattice point ABOVE the budget — 18*(4+2*(4+18)) = 864
+    # NFE; reported, not matched (the reference's S=8 default would be
+    # 3,528)
+    "mcts": SearchParams(N=4, S=2),
 }
 
 # Real openai/clip-vit-large-patch14 geometry (sd/scorers.py:160) for the
