@@ -38,6 +38,7 @@ import jax.numpy as jnp
 
 from diffusion_tts_tpu.utils.roofline import (
     analyze_fn,
+    canonical_formulation,
     sd_unet_flops,
     sd_vae_decode_flops,
 )
@@ -56,7 +57,11 @@ def _edm_report(arch: str, batch: int) -> dict:
         {"params": jax.random.key(0)}, x, sigma, lab))
     variables = jax.tree_util.tree_map(
         lambda s: jnp.zeros(s.shape, s.dtype), shapes)
-    return analyze_fn(lambda v: net.apply(v, x, sigma, lab), variables)
+    # canonical trace: on TPU machines the qkv/flash attention would
+    # otherwise lower as Pallas custom calls, whose matmuls the walker
+    # cannot see (PARITY note 9a)
+    with canonical_formulation():
+        return analyze_fn(lambda v: net.apply(v, x, sigma, lab), variables)
 
 
 def main(argv=None):
