@@ -220,6 +220,33 @@ class TestBenchToolSmokes:
         assert d["value"] > 0 and d["nfe"] == 2 * (1 + 1 * 2 * 2)
 
     @pytest.mark.slow
+    def test_sd_reward_bench_tiny(self, tmp_path):
+        dest = str(tmp_path / "rewards.json")
+        r = run_cli("tools/sd_reward_bench.py", "--tiny", "--steps", "2",
+                    "--seeds", "0,1", "--methods", "naive,eps_greedy",
+                    "--json", dest)
+        assert r.returncode == 0, r.stderr[-2000:]
+        with open(dest) as f:
+            d = json.load(f)
+        rows = {row["method"]: row for row in d["rows"]}
+        assert set(rows) == {"naive", "eps_greedy"}
+        assert len(rows["naive"]["per_seed"]) == 2
+        assert rows["eps_greedy"]["nfe_per_sample"] == 2 * (1 + 5 * 4)
+        assert "RANDOM-INIT" in d["weights"]
+
+    @pytest.mark.slow
+    def test_conv_bwd_probe_tiny(self, tmp_path):
+        dest = str(tmp_path / "probe.json")
+        r = run_cli("tools/conv_bwd_probe.py", "--tiny", "--iters", "2",
+                    "--reps", "1", "--json", dest)
+        assert r.returncode == 0, r.stderr[-2000:]
+        with open(dest) as f:
+            d = json.load(f)
+        row = d["rows"][0]
+        assert row["fwd_xla_s"] > 0 and row["dgrad_xla_s"] > 0
+        assert row["wgrad_xla_s"] > 0
+
+    @pytest.mark.slow
     def test_reward_curve_quick(self, tmp_path):
         dest = str(tmp_path / "curve.json")
         r = run_cli("tools/reward_curve.py", "--arch", "tiny", "--quick",

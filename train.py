@@ -49,7 +49,12 @@ def main(argv=None):
     p.add_argument("--precond", choices=["vp", "ve", "edm"], default="edm")
     p.add_argument("--duration", type=float, default=200.0, help="Mimg")
     p.add_argument("--batch", type=int, default=512)
-    p.add_argument("--batch-gpu", type=int, default=None, help="microbatch per accumulation round")
+    p.add_argument("--batch-gpu", type=int, default=None,
+                   help="microbatch per accumulation round. On one v5e the "
+                        "measured flagship optimum is 32/chip: larger "
+                        "microbatches push XLA into backward "
+                        "rematerialization and LOWER img/s (PARITY note 9g, "
+                        "TRAIN_r5_imagenet64_b32.json)")
     p.add_argument("--cbase", type=int, default=None)
     p.add_argument("--cres", type=str, default=None, help="comma-separated channel multipliers")
     p.add_argument("--lr", type=float, default=1e-3)
